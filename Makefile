@@ -1,0 +1,19 @@
+# Test/bench entry points.
+#
+# The container's sitecustomize registers the axon TPU PJRT plugin in every
+# python process and serializes device access through a single-tenant relay.
+# CPU-side work (tests, asset prep) must disable it at process launch;
+# `bench.py` is the only thing that should touch the real chip.
+
+CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
+
+.PHONY: test test-fast bench
+
+test:
+	$(CPU_ENV) python -m pytest tests/ -q
+
+test-fast:
+	$(CPU_ENV) python -m pytest tests/ -q -x -m "not slow"
+
+bench:
+	python bench.py
