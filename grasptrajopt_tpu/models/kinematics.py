@@ -1,0 +1,160 @@
+"""Kinematics compiler: URDF tree -> flat arrays -> batched FK.
+
+TPU-first redesign of the reference's per-link CasADi chain walk
+(/root/reference/optas/models.py:828-868). Instead of building one symbolic
+expression per link by walking root->link chains, we:
+
+  1. flatten the whole tree into per-frame arrays (parent index, joint type,
+     axis, fixed local transform, actuated-joint index) in topological order;
+  2. compute ALL frames' joint-motion transforms in one vectorized op
+     (Rodrigues over every revolute joint at once);
+  3. compose world transforms with pointer-doubling over the parent links
+     (parallel prefix on the tree): O(log depth) batched (F,4,4) matmul
+     sweeps rather than a sequential chain walk.
+
+The resulting `fk_all` is a pure function q -> (F, 4, 4), trivially
+vmap-able over batch and trajectory axes and fully unrolled/static for XLA.
+
+Joint types supported: fixed, revolute, continuous, prismatic — the same set
+as the reference (optas/models.py:217 raises JointTypeNotSupported for the
+rest).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from grasptrajopt_tpu.models.urdf import Urdf
+from grasptrajopt_tpu.spatial import angvec2r, rpy2r, rt2tr
+
+JOINT_FIXED = 0
+JOINT_REVOLUTE = 1  # includes 'continuous'
+JOINT_PRISMATIC = 2
+
+_TYPE_CODE = {
+    "fixed": JOINT_FIXED,
+    "revolute": JOINT_REVOLUTE,
+    "continuous": JOINT_REVOLUTE,
+    "prismatic": JOINT_PRISMATIC,
+}
+
+
+class JointTypeNotSupported(NotImplementedError):
+    def __init__(self, joint_type: str):
+        super().__init__(f"{joint_type} joints are not supported")
+
+
+class KinematicModel:
+    """Flat kinematic description of a URDF tree.
+
+    Frames are links, ordered topologically with the root at index 0. All
+    per-frame arrays are host numpy; `fk_all` closes over them so XLA sees
+    them as constants.
+    """
+
+    def __init__(self, urdf: Urdf, actuated_joint_names: Optional[List[str]] = None):
+        self.urdf = urdf
+        root = urdf.get_root()
+
+        if actuated_joint_names is None:
+            actuated_joint_names = urdf.actuated_joint_names
+        self.actuated_joint_names = list(actuated_joint_names)
+        self.ndof = len(self.actuated_joint_names)
+        joint_idx_of = {n: i for i, n in enumerate(self.actuated_joint_names)}
+
+        # Topological order over links (children after parents).
+        children: Dict[str, List[str]] = {}
+        for j in urdf.joints:
+            children.setdefault(j.parent, []).append(j.child)
+        order: List[str] = []
+        stack = [root]
+        while stack:
+            link = stack.pop()
+            order.append(link)
+            stack.extend(reversed(children.get(link, [])))
+        self.frame_names: List[str] = order
+        self.frame_index: Dict[str, int] = {n: i for i, n in enumerate(order)}
+
+        F = len(order)
+        parent = np.zeros(F, dtype=np.int32)
+        joint_type = np.zeros(F, dtype=np.int32)
+        joint_index = np.full(F, -1, dtype=np.int32)
+        axis = np.zeros((F, 3), dtype=np.float64)
+        axis[:, 0] = 1.0
+        T_fixed = np.tile(np.eye(4), (F, 1, 1))
+
+        for j in urdf.joints:
+            f = self.frame_index[j.child]
+            code = _TYPE_CODE.get(j.type)
+            if code is None:
+                raise JointTypeNotSupported(j.type)
+            parent[f] = self.frame_index[j.parent]
+            joint_type[f] = code
+            if j.type != "fixed":
+                joint_index[f] = joint_idx_of[j.name]
+            axis[f] = np.asarray(j.axis, dtype=np.float64)
+            T_fixed[f] = np.asarray(
+                rt2tr(rpy2r(jnp.asarray(j.rpy, dtype=jnp.float64)), jnp.asarray(j.xyz, dtype=jnp.float64))
+            )
+
+        self.parent = parent
+        self.joint_type = joint_type
+        self.joint_index = joint_index
+        self.axis = axis
+        self.T_fixed = T_fixed
+
+        # Depth per frame (root = 0) and the pointer-doubling sweep count.
+        depth = np.zeros(F, dtype=np.int32)
+        for f in range(1, F):
+            depth[f] = depth[parent[f]] + 1
+        self.depth = depth
+        self.num_doubling_sweeps = max(1, int(np.ceil(np.log2(depth.max() + 1)))) if F > 1 else 0
+
+    def fk_fn(self, dtype=jnp.float32) -> Callable:
+        """Compile an `fk_all(q) -> (F, 4, 4)` world-transform function.
+
+        `q` has shape (..., ndof); output is (..., F, 4, 4). The composition
+        uses pointer doubling over the parent pointers, so the number of
+        batched matmul sweeps is ceil(log2(max_depth + 1)) regardless of the
+        number of links.
+        """
+        parent0 = self.parent.copy()
+        parent0[0] = 0  # root self-loop: its local transform is identity
+        parent_j = jnp.asarray(parent0)
+        jtype = jnp.asarray(self.joint_type)
+        jindex = jnp.asarray(np.maximum(self.joint_index, 0))
+        has_joint = jnp.asarray(self.joint_index >= 0)
+        axis = jnp.asarray(self.axis, dtype=dtype)
+        T_fixed = jnp.asarray(self.T_fixed, dtype=dtype)
+        sweeps = self.num_doubling_sweeps
+        eye3 = jnp.eye(3, dtype=dtype)
+
+        def fk_all(q):
+            q = jnp.asarray(q, dtype=dtype)
+            qj = jnp.where(has_joint, q[..., jindex], jnp.zeros_like(q[..., jindex]))
+            # Vectorized joint motion for every frame at once.
+            R_rev = angvec2r(qj, axis)  # (..., F, 3, 3)
+            is_rev = (jtype == JOINT_REVOLUTE)[..., None, None]
+            is_pri = (jtype == JOINT_PRISMATIC)[..., None]
+            R = jnp.where(is_rev, R_rev, eye3)
+            t = jnp.where(is_pri, qj[..., None] * axis, jnp.zeros_like(axis))
+            local = T_fixed @ rt2tr(R, t)  # (..., F, 4, 4)
+            local = local.at[..., 0, :, :].set(jnp.eye(4, dtype=dtype))
+
+            # Pointer doubling: after k sweeps, acc[f] composes 2^k ancestors.
+            acc, ptr = local, parent_j
+            for _ in range(sweeps):
+                acc = jnp.take(acc, ptr, axis=-3) @ acc
+                ptr = ptr[ptr]
+            return acc
+
+        return fk_all
+
+    def frame_of(self, link_name: str) -> int:
+        if link_name not in self.frame_index:
+            raise KeyError(f"link '{link_name}' does not appear in URDF '{self.urdf.name}'")
+        return self.frame_index[link_name]
