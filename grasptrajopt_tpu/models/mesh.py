@@ -1,0 +1,152 @@
+"""Triangle-mesh IO and surface sampling (host-side asset prep).
+
+First-party replacement for the trimesh + pyrender virtual-scan pipeline the
+reference uses to build per-link surface point clouds
+(/root/reference/mesh_to_sdf/surface_point_cloud.py:177-188 `sample_from_mesh`
+— the 'sample' path is the one the planners actually use,
+gto/gto_models.py:76). We load OBJ/STL directly with stdlib + numpy and
+sample points area-weighted on the triangle surface with a deterministic RNG,
+returning points + face normals.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class TriangleMesh:
+    vertices: np.ndarray  # (V, 3) float64
+    faces: np.ndarray  # (T, 3) int32
+
+    @property
+    def face_normals(self) -> np.ndarray:
+        v = self.vertices
+        f = self.faces
+        n = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+        norms = np.linalg.norm(n, axis=1, keepdims=True)
+        return n / np.maximum(norms, 1e-12)
+
+    @property
+    def face_areas(self) -> np.ndarray:
+        v = self.vertices
+        f = self.faces
+        n = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+        return 0.5 * np.linalg.norm(n, axis=1)
+
+    @property
+    def bounding_radius(self) -> float:
+        return float(np.linalg.norm(self.vertices, axis=1).max(initial=0.0))
+
+    def scaled(self, scale) -> "TriangleMesh":
+        scale = np.asarray(scale, dtype=np.float64)
+        return TriangleMesh(vertices=self.vertices * scale, faces=self.faces)
+
+    def sample_surface(
+        self, count: int, seed: int = 0, with_normals: bool = True
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Area-weighted random points on the surface (deterministic).
+
+        Matches the semantics of trimesh.sample.sample_surface as used by the
+        reference (mesh.sample + per-sample face normals,
+        mesh_to_sdf/surface_point_cloud.py:177-188).
+        """
+        rng = np.random.default_rng(seed)
+        areas = self.face_areas
+        total = areas.sum()
+        if total <= 0 or len(self.faces) == 0:
+            raise ValueError("mesh has no area to sample")
+        probs = areas / total
+        face_idx = rng.choice(len(self.faces), size=count, p=probs)
+        # Uniform barycentric sampling via sqrt trick.
+        r1 = np.sqrt(rng.random(count))
+        r2 = rng.random(count)
+        a = 1.0 - r1
+        b = r1 * (1.0 - r2)
+        c = r1 * r2
+        tri = self.vertices[self.faces[face_idx]]  # (count, 3, 3)
+        pts = a[:, None] * tri[:, 0] + b[:, None] * tri[:, 1] + c[:, None] * tri[:, 2]
+        normals = self.face_normals[face_idx] if with_normals else None
+        return pts, normals
+
+
+def load_obj(path: str) -> TriangleMesh:
+    """Wavefront OBJ loader: v/f records, fan-triangulates polygons."""
+    vertices = []
+    faces = []
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                vertices.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("f "):
+                idx = []
+                for tok in line.split()[1:]:
+                    vi = tok.split("/")[0]
+                    i = int(vi)
+                    idx.append(i - 1 if i > 0 else len(vertices) + i)
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    if not vertices:
+        raise ValueError(f"no vertices in OBJ file {path}")
+    return TriangleMesh(
+        vertices=np.asarray(vertices, dtype=np.float64),
+        faces=np.asarray(faces, dtype=np.int32).reshape(-1, 3),
+    )
+
+
+def load_stl(path: str) -> TriangleMesh:
+    """STL loader handling both binary and ASCII variants."""
+    with open(path, "rb") as f:
+        head = f.read(5)
+        f.seek(0)
+        data = f.read()
+    if head.lower() == b"solid":
+        # Might still be binary with a 'solid' header; sanity-check size.
+        try:
+            return _load_stl_ascii(data.decode("ascii", errors="strict"))
+        except (UnicodeDecodeError, ValueError):
+            pass
+    return _load_stl_binary(data, path)
+
+
+def _load_stl_binary(data: bytes, path: str) -> TriangleMesh:
+    if len(data) < 84:
+        raise ValueError(f"truncated binary STL {path}")
+    (n_tri,) = struct.unpack_from("<I", data, 80)
+    expected = 84 + n_tri * 50
+    if len(data) < expected:
+        raise ValueError(f"binary STL {path} size mismatch: {len(data)} < {expected}")
+    rec = np.frombuffer(data, dtype=np.uint8, count=n_tri * 50, offset=84).reshape(n_tri, 50)
+    tri = rec[:, 12:48].copy().view("<f4").reshape(n_tri, 3, 3).astype(np.float64)
+    vertices = tri.reshape(-1, 3)
+    faces = np.arange(n_tri * 3, dtype=np.int32).reshape(-1, 3)
+    return TriangleMesh(vertices=vertices, faces=faces)
+
+
+def _load_stl_ascii(text: str) -> TriangleMesh:
+    vertices = []
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("vertex"):
+            parts = line.split()
+            vertices.append([float(parts[1]), float(parts[2]), float(parts[3])])
+    if not vertices or len(vertices) % 3 != 0:
+        raise ValueError("malformed ASCII STL")
+    vertices = np.asarray(vertices, dtype=np.float64)
+    faces = np.arange(len(vertices), dtype=np.int32).reshape(-1, 3)
+    return TriangleMesh(vertices=vertices, faces=faces)
+
+
+def load_mesh(path: str) -> TriangleMesh:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".obj":
+        return load_obj(path)
+    if ext == ".stl":
+        return load_stl(path)
+    raise ValueError(f"unsupported mesh format '{ext}' ({path})")

@@ -1,0 +1,99 @@
+"""Voxel-field lookups: floor-indexed (reference parity) and trilinear
+(differentiable upgrade).
+
+The reference converts robot surface points to flat voxel offsets with
+floor + per-axis clamp + row-major flattening (gto/gto_models.py:174-201)
+and indexes the cost field with them. CasADi's floor has zero derivative,
+so the reference's obstacle cost carries no gradient through position
+(cf. the abandoned differentiable route at gto/sdf_callback.py). Here the
+default is trilinear interpolation over the 8 surrounding grid corners,
+which is exact at corners, piecewise-linear in between, and carries
+useful gradients for the Gauss-Newton solver.
+
+Fields are flat (S,) arrays over a grid defined by (origin, shape,
+resolution); grid corner (i,j,k) sits at origin + (i,j,k)*resolution,
+matching setup_workspace_field / setup_points_field
+(gto/gto_models.py:135-171).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def points_to_offsets(points, origin, shape: Tuple[int, int, int], resolution):
+    """Flat row-major voxel offsets of (..., 3) points (floor + clamp).
+
+    Parity: gto/gto_models.py:174-201.
+    """
+    points = jnp.asarray(points)
+    origin = jnp.asarray(origin, dtype=points.dtype).reshape(3)
+    u = (points - origin) / resolution
+    idx = jnp.floor(u).astype(jnp.int32)
+    hi = jnp.asarray([shape[0] - 1, shape[1] - 1, shape[2] - 1], dtype=jnp.int32)
+    idx = jnp.clip(idx, 0, hi)
+    return idx[..., 2] + shape[2] * (idx[..., 1] + shape[1] * idx[..., 0])
+
+
+def field_lookup_nearest(field_flat, points, origin, shape, resolution):
+    """Field value at the floor-indexed cell of each point (reference parity;
+    zero gradient w.r.t. point position)."""
+    offsets = points_to_offsets(points, origin, shape, resolution)
+    return jnp.asarray(field_flat)[offsets]
+
+
+def field_lookup_trilinear(field_flat, points, origin, shape, resolution):
+    """Differentiable trilinear interpolation of a flat voxel field.
+
+    points: (..., 3) -> values (...,). Outside the grid the lookup clamps to
+    the boundary cell (gradient saturates to zero there, like the clamp in
+    the reference's offset map).
+    """
+    field_flat = jnp.asarray(field_flat)
+    points = jnp.asarray(points)
+    origin = jnp.asarray(origin, dtype=points.dtype).reshape(3)
+    u = (points - origin) / resolution
+    # Base corner, clamped so that base+1 stays in range.
+    hi = jnp.asarray(
+        [shape[0] - 2, shape[1] - 2, shape[2] - 2], dtype=jnp.int32
+    )
+    base = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, hi)
+    frac = jnp.clip(u - base.astype(points.dtype), 0.0, 1.0)
+
+    sx, sy, sz = shape
+
+    def flat(ix, iy, iz):
+        return iz + sz * (iy + sy * ix)
+
+    ix, iy, iz = base[..., 0], base[..., 1], base[..., 2]
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+
+    c000 = field_flat[flat(ix, iy, iz)]
+    c001 = field_flat[flat(ix, iy, iz + 1)]
+    c010 = field_flat[flat(ix, iy + 1, iz)]
+    c011 = field_flat[flat(ix, iy + 1, iz + 1)]
+    c100 = field_flat[flat(ix + 1, iy, iz)]
+    c101 = field_flat[flat(ix + 1, iy, iz + 1)]
+    c110 = field_flat[flat(ix + 1, iy + 1, iz)]
+    c111 = field_flat[flat(ix + 1, iy + 1, iz + 1)]
+
+    c00 = c000 * (1 - fz) + c001 * fz
+    c01 = c010 * (1 - fz) + c011 * fz
+    c10 = c100 * (1 - fz) + c101 * fz
+    c11 = c110 * (1 - fz) + c111 * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fx) + c1 * fx
+
+
+def points_to_offsets_2d(points_xy, origin, shape: Tuple[int, int], resolution):
+    """2-D occupancy-grid offsets. Parity: gto/gto_models.py:247-272."""
+    points_xy = jnp.asarray(points_xy)
+    origin = jnp.asarray(origin, dtype=points_xy.dtype).reshape(2)
+    u = (points_xy - origin) / resolution
+    idx = jnp.floor(u).astype(jnp.int32)
+    hi = jnp.asarray([shape[0] - 1, shape[1] - 1], dtype=jnp.int32)
+    idx = jnp.clip(idx, 0, hi)
+    return idx[..., 1] + shape[1] * idx[..., 0]

@@ -1,0 +1,150 @@
+"""Brute-force nearest-neighbor squared distances, MXU-tiled.
+
+The SDF field build asks: for each of M grid points, the distance to the
+nearest of N scene points (M ~ 1e5, N ~ 1e5-3e5). The reference does this
+with a host-side sklearn KD-tree (mesh_to_sdf/depth_point_cloud.py:25,
+:57-91) at hundreds of ms per field. On TPU the same query is a tiled
+matmul: ||g - p||^2 = ||g||^2 + ||p||^2 - 2 g.p, streamed flash-attention
+style so the (M, N) distance matrix never materializes in HBM.
+
+Two implementations:
+  - `min_sqdist`: XLA path — lax.map over M-chunks, each chunk one
+    (chunk, N) matmul + row min. XLA fuses the add/min into the matmul
+    epilogue; this is already near memory-bound speed-of-light.
+  - `min_sqdist_pallas`: explicit Pallas kernel with a (M/TM, N/TN) grid
+    accumulating running minima in VMEM, for full control of tiling.
+
+Both return (min squared distance, argmin index). Invalid reference points
+are masked with +inf before the reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = jnp.inf
+
+
+def min_sqdist_reference(query, ref, ref_mask=None):
+    """Dense O(M*N) reference implementation (tests / tiny inputs)."""
+    query = jnp.asarray(query)
+    ref = jnp.asarray(ref)
+    d2 = jnp.sum((query[:, None, :] - ref[None, :, :]) ** 2, axis=-1)
+    if ref_mask is not None:
+        d2 = jnp.where(ref_mask[None, :], d2, _INF)
+    return jnp.min(d2, axis=1), jnp.argmin(d2, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def min_sqdist(query, ref, ref_mask=None, chunk: int = 1024):
+    """Min squared distance + argmin from each query to the ref set.
+
+    query: (M, 3); ref: (N, 3); ref_mask: optional (N,) bool — False entries
+    are excluded. Returns (d2 (M,), idx (M,)) in query dtype / int32.
+
+    Streams over M in `chunk`-sized tiles; each tile computes a
+    (chunk, N) squared-distance block via one MXU matmul and reduces it
+    immediately, so peak memory is O(chunk * N).
+    """
+    query = jnp.asarray(query)
+    ref = jnp.asarray(ref)
+    M = query.shape[0]
+    n_chunks = -(-M // chunk)
+    pad = n_chunks * chunk - M
+    qpad = jnp.pad(query, ((0, pad), (0, 0)))
+    qchunks = qpad.reshape(n_chunks, chunk, 3)
+
+    ref_sq = jnp.sum(ref * ref, axis=-1)  # (N,)
+    if ref_mask is not None:
+        penalty = jnp.where(ref_mask, jnp.zeros_like(ref_sq), jnp.full_like(ref_sq, _INF))
+    else:
+        penalty = jnp.zeros_like(ref_sq)
+
+    def one_chunk(qc):
+        # (chunk, N) block: ||q||^2 + ||p||^2 - 2 q.p
+        cross = qc @ ref.T  # MXU
+        d2 = jnp.sum(qc * qc, axis=-1)[:, None] + (ref_sq + penalty)[None, :] - 2.0 * cross
+        return jnp.min(d2, axis=1), jnp.argmin(d2, axis=1)
+
+    d2s, idxs = jax.lax.map(one_chunk, qchunks)
+    d2 = d2s.reshape(-1)[:M]
+    idx = idxs.reshape(-1)[:M].astype(jnp.int32)
+    # Guard tiny negative values from cancellation.
+    return jnp.maximum(d2, 0.0), idx
+
+
+def _min_kernel(q_ref, r_ref, rsq_ref, out_ref, arg_ref):
+    """Pallas kernel body: one (TM, TN) tile of the distance matrix."""
+    j = pl.program_id(1)
+
+    q = q_ref[:, :]  # (TM, 4) — xyz padded to 4 lanes
+    r = r_ref[:, :]  # (TN, 4)
+    cross = jax.lax.dot_general(
+        q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TM, TN)
+    qsq = jnp.sum(q * q, axis=1, keepdims=True)
+    d2 = qsq + rsq_ref[:, :] - 2.0 * cross  # rsq broadcast (1, TN)
+
+    tile_min = jnp.min(d2, axis=1)
+    local_arg = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    tile_arg = local_arg + j * d2.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, 0] = tile_min
+        arg_ref[:, 0] = tile_arg
+
+    @pl.when(j > 0)
+    def _():
+        prev = out_ref[:, 0]
+        better = tile_min < prev
+        out_ref[:, 0] = jnp.where(better, tile_min, prev)
+        arg_ref[:, 0] = jnp.where(better, tile_arg, arg_ref[:, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn"))
+def min_sqdist_pallas(query, ref, ref_mask=None, tm: int = 512, tn: int = 2048):
+    """Pallas TPU kernel: tiled brute-force min distance with VMEM minima.
+
+    Pads M, N up to tile multiples; masked/padded ref points get +inf via
+    their squared-norm term. xyz is padded to 4 lanes for alignment.
+    """
+    query = jnp.asarray(query, jnp.float32)
+    ref = jnp.asarray(ref, jnp.float32)
+    M, N = query.shape[0], ref.shape[0]
+    Mp = -(-M // tm) * tm
+    Np = -(-N // tn) * tn
+
+    q4 = jnp.zeros((Mp, 4), jnp.float32).at[:M, :3].set(query)
+    r4 = jnp.zeros((Np, 4), jnp.float32).at[:N, :3].set(ref)
+    rsq = jnp.sum(r4 * r4, axis=1)
+    big = jnp.float32(3.0e38)
+    if ref_mask is not None:
+        rsq = jnp.where(jnp.pad(ref_mask, (0, Np - N)), rsq, big)
+    else:
+        rsq = rsq.at[N:].set(big)
+    rsq = rsq.reshape(1, Np)
+
+    out, arg = pl.pallas_call(
+        _min_kernel,
+        grid=(Mp // tm, Np // tn),
+        in_specs=[
+            pl.BlockSpec((tm, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.int32),
+        ],
+    )(q4, r4, rsq)
+    return jnp.maximum(out[:M, 0], 0.0), arg[:M, 0]

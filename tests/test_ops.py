@@ -1,0 +1,164 @@
+"""Tests for on-device ops: NN distance, field interpolation, block-tridiag."""
+
+import numpy as np
+import pytest
+from scipy.spatial import cKDTree
+
+import jax
+import jax.numpy as jnp
+
+from grasptrajopt_tpu.ops import (
+    block_tridiag_solve,
+    field_lookup_nearest,
+    field_lookup_trilinear,
+    min_sqdist,
+    min_sqdist_reference,
+    points_to_offsets,
+)
+from grasptrajopt_tpu.ops.block_tridiag import block_tridiag_matvec
+from grasptrajopt_tpu.ops.nn import min_sqdist_pallas
+
+RNG = np.random.default_rng(0)
+
+
+class TestMinSqdist:
+    def test_matches_kdtree(self):
+        q = RNG.normal(size=(500, 3))
+        r = RNG.normal(size=(700, 3))
+        d2, idx = min_sqdist(jnp.asarray(q), jnp.asarray(r), chunk=128)
+        tree = cKDTree(r)
+        want_d, want_i = tree.query(q)
+        np.testing.assert_allclose(np.sqrt(np.asarray(d2)), want_d, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(idx), want_i)
+
+    def test_mask_excludes_points(self):
+        q = np.zeros((1, 3))
+        r = np.array([[0.1, 0, 0], [1.0, 0, 0]])
+        mask = jnp.asarray([False, True])
+        d2, idx = min_sqdist(jnp.asarray(q), jnp.asarray(r), ref_mask=mask)
+        np.testing.assert_allclose(np.asarray(d2), [1.0], atol=1e-6)
+        assert int(idx[0]) == 1
+
+    def test_matches_dense_reference(self):
+        q = RNG.normal(size=(37, 3))
+        r = RNG.normal(size=(53, 3))
+        d2a, ia = min_sqdist(jnp.asarray(q), jnp.asarray(r), chunk=16)
+        d2b, ib = min_sqdist_reference(jnp.asarray(q), jnp.asarray(r))
+        np.testing.assert_allclose(np.asarray(d2a), np.asarray(d2b), atol=1e-9)
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+
+    def test_pallas_kernel_interpret_mode(self):
+        # Pallas TPU kernels run in interpret mode on CPU via this flag.
+        from jax.experimental.pallas import tpu as pltpu
+
+        q = RNG.normal(size=(100, 3)).astype(np.float32)
+        r = RNG.normal(size=(300, 3)).astype(np.float32)
+        with pltpu.force_tpu_interpret_mode():
+            d2, idx = min_sqdist_pallas(jnp.asarray(q), jnp.asarray(r), tm=64, tn=128)
+        tree = cKDTree(r)
+        want_d, want_i = tree.query(q)
+        np.testing.assert_allclose(np.sqrt(np.asarray(d2)), want_d, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), want_i)
+
+
+class TestFieldLookup:
+    def setup_method(self):
+        self.shape = (8, 9, 10)
+        self.origin = np.array([-0.1, -0.2, -0.3])
+        self.res = 0.1
+        self.field = RNG.normal(size=self.shape).astype(np.float64)
+        self.flat = jnp.asarray(self.field.reshape(-1))
+
+    def test_nearest_matches_reference_offsets(self):
+        """Floor+clamp+row-major must equal gto_models.points_to_offsets_numpy."""
+        pts = RNG.uniform(-0.5, 1.2, size=(200, 3))
+        off = np.asarray(points_to_offsets(jnp.asarray(pts), self.origin, self.shape, self.res))
+        # independent numpy re-derivation
+        idx = (pts - self.origin) / self.res
+        idx = np.floor(idx)
+        for k in range(3):
+            idx[:, k] = np.clip(idx[:, k], 0, self.shape[k] - 1)
+        want = (idx[:, 2] + self.shape[2] * (idx[:, 1] + self.shape[1] * idx[:, 0])).astype(int)
+        np.testing.assert_array_equal(off, want)
+        vals = np.asarray(field_lookup_nearest(self.flat, jnp.asarray(pts), self.origin, self.shape, self.res))
+        np.testing.assert_allclose(vals, self.field.reshape(-1)[want], atol=0)
+
+    def test_trilinear_exact_at_corners(self):
+        ii, jj, kk = np.meshgrid(range(8), range(9), range(10), indexing="ij")
+        pts = self.origin + np.stack([ii, jj, kk], axis=-1).reshape(-1, 3) * self.res
+        vals = np.asarray(
+            field_lookup_trilinear(self.flat, jnp.asarray(pts), self.origin, self.shape, self.res)
+        )
+        np.testing.assert_allclose(vals, self.field.reshape(-1), atol=1e-10)
+
+    def test_trilinear_linear_in_between(self):
+        p0 = self.origin + np.array([2, 3, 4]) * self.res
+        p1 = self.origin + np.array([3, 3, 4]) * self.res
+        for alpha in [0.25, 0.5, 0.75]:
+            p = (1 - alpha) * p0 + alpha * p1
+            v = float(field_lookup_trilinear(self.flat, jnp.asarray(p[None]), self.origin, self.shape, self.res)[0])
+            want = (1 - alpha) * self.field[2, 3, 4] + alpha * self.field[3, 3, 4]
+            np.testing.assert_allclose(v, want, atol=1e-10)
+
+    def test_trilinear_gradient(self):
+        p = jnp.asarray(self.origin + np.array([2.3, 3.6, 4.1]) * self.res)
+
+        def f(pt):
+            return field_lookup_trilinear(self.flat, pt[None], self.origin, self.shape, self.res)[0]
+
+        g = np.asarray(jax.grad(f)(p))
+        eps = 1e-6
+        for k in range(3):
+            dp = np.zeros(3)
+            dp[k] = eps
+            fd = (f(p + dp) - f(p - dp)) / (2 * eps)
+            np.testing.assert_allclose(g[k], np.asarray(fd), atol=1e-4)
+
+    def test_clamped_outside(self):
+        far = jnp.asarray([[99.0, 99.0, 99.0]])
+        v = float(field_lookup_trilinear(self.flat, far, self.origin, self.shape, self.res)[0])
+        np.testing.assert_allclose(v, self.field[-1, -1, -1], atol=1e-10)
+
+
+class TestBlockTridiag:
+    def _random_spd_system(self, T, n, seed=0):
+        rng = np.random.default_rng(seed)
+        lower = rng.normal(size=(T - 1, n, n)) * 0.3
+        diag = np.zeros((T, n, n))
+        for t in range(T):
+            A = rng.normal(size=(n, n))
+            diag[t] = A @ A.T + 5.0 * np.eye(n)  # diagonally dominant
+        rhs = rng.normal(size=(T, n))
+        return jnp.asarray(diag), jnp.asarray(lower), jnp.asarray(rhs)
+
+    def test_solve_matches_dense(self):
+        T, n = 12, 5
+        diag, lower, rhs = self._random_spd_system(T, n)
+        x = np.asarray(block_tridiag_solve(diag, lower, rhs))
+        # dense assembly
+        H = np.zeros((T * n, T * n))
+        for t in range(T):
+            H[t * n:(t + 1) * n, t * n:(t + 1) * n] = np.asarray(diag[t])
+        for t in range(T - 1):
+            H[(t + 1) * n:(t + 2) * n, t * n:(t + 1) * n] = np.asarray(lower[t])
+            H[t * n:(t + 1) * n, (t + 1) * n:(t + 2) * n] = np.asarray(lower[t]).T
+        want = np.linalg.solve(H, np.asarray(rhs).reshape(-1)).reshape(T, n)
+        np.testing.assert_allclose(x, want, atol=1e-8)
+
+    def test_matvec_roundtrip(self):
+        T, n = 9, 4
+        diag, lower, rhs = self._random_spd_system(T, n, seed=3)
+        x = block_tridiag_solve(diag, lower, rhs)
+        back = np.asarray(block_tridiag_matvec(diag, lower, x))
+        np.testing.assert_allclose(back, np.asarray(rhs), atol=1e-8)
+
+    def test_vmap_batch(self):
+        T, n, B = 7, 3, 4
+        systems = [self._random_spd_system(T, n, seed=s) for s in range(B)]
+        diag = jnp.stack([s[0] for s in systems])
+        lower = jnp.stack([s[1] for s in systems])
+        rhs = jnp.stack([s[2] for s in systems])
+        xb = jax.vmap(block_tridiag_solve)(diag, lower, rhs)
+        for b in range(B):
+            want = block_tridiag_solve(diag[b], lower[b], rhs[b])
+            np.testing.assert_allclose(np.asarray(xb[b]), np.asarray(want), atol=1e-9)
