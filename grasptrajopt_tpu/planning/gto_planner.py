@@ -1,0 +1,347 @@
+"""GTOPlanner: goal-set grasp trajectory optimization.
+
+Parity with /root/reference/gto/gto_planner.py:
+  - T=50 steps over Tmax=10 s (:25-28), dt = Tmax/(T-1)
+  - constraints: initial config + zero initial velocity (:59-65), Euler
+    integration (:68-72), joint limits (:138) — all eliminated structurally
+    here (see opt/trajectory.py)
+  - goal-set point-match cost with min over candidate grasps (:84-105),
+    standoff phase at step T-10 with a -0.1 m offset pose (:22, :98-102)
+  - obstacle cost 10 * (sumsqr(sdf_all[standoff phase]) +
+    sumsqr(sdf_obstacle[final phase])) over all body surface points at all
+    steps (:107-131) — the final approach may touch the target, so it uses
+    the target-free field
+  - velocity regularizer 0.01 * sumsqr(dQ) (:133-135)
+  - warm-start ranking of IK candidates by (plan cost, travel distance)
+    lexicographically, cubic-interpolated seed (:185-219; np.lexsort :212)
+
+TPU redesign: the reference REBUILDS the symbolic NLP and re-invokes Ipopt
+for every plan call (:146, :187 — SURVEY call stack 3.1's hot spot). Here
+`setup_optimization` jit-compiles one solver per (goal capacity, standoff)
+signature, goal sets are padded to that capacity with a validity mask, and
+`plan_goalset_batch` vmaps whole batches of scenes/grasp-sets in one
+device program.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from grasptrajopt_tpu.fields.voxel_grid import VoxelGrid
+from grasptrajopt_tpu.opt.trajectory import TrajectoryConfig, make_trajectory_solver
+from grasptrajopt_tpu.planning.utils import interpolate_waypoints_jnp
+from grasptrajopt_tpu.spatial import invt, transform_points
+
+
+class GTOPlanner:
+    def __init__(
+        self,
+        robot,
+        link_ee: str,
+        link_gripper: str,
+        collision_avoidance: bool = True,
+        standoff_distance: float = -0.1,
+        standoff_offset: int = -10,
+        interp: str = "trilinear",
+        iterations: int = 50,
+    ):
+        self.T = 50
+        self.Tmax = 10.0
+        self.dt = self.Tmax / (self.T - 1)
+        self.standoff_distance = standoff_distance
+        self.standoff_offset = standoff_offset
+        self.collision_avoidance = collision_avoidance
+        self.interp = interp
+        self.iterations = iterations
+
+        self.robot = robot
+        self.robot_name = robot.get_name()
+        self.link_ee = link_ee
+        self.link_gripper = link_gripper
+        self.gripper_points = jnp.asarray(
+            robot.surface_pc_map[link_gripper].points, robot.dtype
+        )
+        self._solvers: Dict[tuple, callable] = {}
+
+    # -- solver construction --------------------------------------------------
+
+    def _standoff_pose(self, axis: str) -> jnp.ndarray:
+        pose = np.eye(4, dtype=np.float32)
+        pose[{"x": 0, "y": 1, "z": 2}[axis], 3] = self.standoff_distance
+        return jnp.asarray(pose, self.robot.dtype)
+
+    def setup_optimization(
+        self,
+        goal_size: int = 1,
+        use_standoff: bool = False,
+        axis_standoff: str = "x",
+        grid: Optional[VoxelGrid] = None,
+    ):
+        """Build (and cache) the jitted solve program for a goal capacity."""
+        key = (goal_size, use_standoff, axis_standoff, grid or self.robot.grid)
+        if key in self._solvers:
+            return self._solvers[key]
+
+        robot = self.robot
+        g = grid or robot.grid
+        dtype = robot.dtype
+        T = self.T
+        t_standoff = T + self.standoff_offset
+        ee_frame = robot.frame_of(self.link_ee)
+        grip_frame = robot.frame_of(self.link_gripper)
+        gpts = self.gripper_points
+        pose_standoff = self._standoff_pose(axis_standoff)
+        sqrt10 = jnp.asarray(np.sqrt(10.0), dtype)
+
+        def goal_diffs(q_full, tf_goal_one):
+            """Point differences (cur - goal-placed) for final and standoff."""
+            frames = robot.fk_all(q_full)
+            T_grip = frames[grip_frame]
+            gripper_tf = invt(frames[ee_frame]) @ T_grip
+            pts_cur = transform_points(T_grip, gpts)
+            d_final = pts_cur - transform_points(tf_goal_one @ gripper_tf, gpts)
+            if use_standoff:
+                d_stand = pts_cur - transform_points(
+                    tf_goal_one @ pose_standoff @ gripper_tf, gpts
+                )
+            else:
+                d_stand = jnp.zeros_like(d_final)
+            return d_final, d_stand
+
+        def step_residual(q_opt, t, goal_idx, params):
+            q_full = robot.assemble_q(q_opt, params["q_param"])
+            parts = []
+            if self.collision_avoidance:
+                pts = robot.fk_surface_points(q_full, base_position=params["base_position"])
+                v_all = g.lookup(params["sdf_cost_all"], pts, self.interp)
+                v_obs = g.lookup(params["sdf_cost_obstacle"], pts, self.interp)
+                # standoff phase (t < T-10) uses the full field; the final
+                # approach uses the target-free field (gto_planner.py:117-131)
+                vals = jnp.where(t < t_standoff, v_all, v_obs)
+                parts.append(sqrt10 * vals)
+
+            tf_goal_one = params["tf_goal"][goal_idx]
+            d_final, d_stand = goal_diffs(q_full, tf_goal_one)
+            is_final = (t == T - 1).astype(dtype)
+            is_stand = (t == t_standoff).astype(dtype) if use_standoff else jnp.asarray(0.0, dtype)
+            parts.append((is_final * d_final + is_stand * d_stand).reshape(-1))
+            return jnp.concatenate(parts)
+
+        def pre_iteration(Q_opt, params):
+            """Active-goal selection: argmin over the goal set of the
+            point-match cost at the current trajectory (the reference's
+            optas.mmin reduction, gto_planner.py:91-105)."""
+            qf = robot.assemble_q(Q_opt[T - 1], params["q_param"])
+            qs = robot.assemble_q(Q_opt[t_standoff], params["q_param"])
+
+            def goal_cost(tf_goal_one):
+                d_final, _ = goal_diffs(qf, tf_goal_one)
+                c = jnp.sum(d_final * d_final)
+                if use_standoff:
+                    _, d_stand = goal_diffs(qs, tf_goal_one)
+                    c = c + jnp.sum(d_stand * d_stand)
+                return c
+
+            costs = jax.vmap(goal_cost)(params["tf_goal"])
+            costs = jnp.where(params["goal_mask"], costs, jnp.inf)
+            return jnp.argmin(costs)
+
+        cfg = TrajectoryConfig(
+            T=T,
+            n_fixed=2,
+            smooth_weight=0.01 / self.dt**2,
+            iterations=self.iterations,
+        )
+        solver = make_trajectory_solver(step_residual, cfg, pre_iteration=pre_iteration)
+
+        lo = jnp.asarray(robot.lower_optimized_joint_limits, dtype)
+        hi = jnp.asarray(robot.upper_optimized_joint_limits, dtype)
+
+        def run(qc_opt, X0, params):
+            return solver(qc_opt, X0, lo, hi, params)
+
+        solve_one = jax.jit(run)
+        solve_batch = jax.jit(jax.vmap(run))
+        self._solvers[key] = (solve_one, solve_batch)
+        return self._solvers[key]
+
+    # -- warm starts ----------------------------------------------------------
+
+    def _rank_warm_starts(self, qc, q_solutions, sdf_cost_obstacle, base_position):
+        """Interpolate each IK candidate into a seed trajectory and rank by
+        (plan cost, distance) lexicographically (gto_planner.py:196-219)."""
+        robot = self.robot
+        dtype = robot.dtype
+        qc = jnp.asarray(qc, dtype)
+        q_solutions = jnp.asarray(q_solutions, dtype)  # (ndof, k)
+        k = q_solutions.shape[1]
+        param_idx = jnp.asarray(robot.parameter_joint_indexes, dtype=int)
+
+        def seed_for(q_sol):
+            data = interpolate_waypoints_jnp(qc, q_sol, self.T)  # (T, ndof)
+            if robot.num_param_joints:
+                data = data.at[:, param_idx].set(qc[param_idx])
+            return data
+
+        seeds = jax.vmap(seed_for)(q_solutions.T)  # (k, T, ndof)
+
+        pts = robot.fk_surface_points(seeds, base_position=jnp.asarray(base_position, dtype))
+        vals = robot.grid.lookup_nearest(jnp.asarray(sdf_cost_obstacle, dtype), pts)
+        costs = jnp.sum(vals, axis=(1, 2))  # (k,)
+        dists = jnp.linalg.norm(seeds[:, 0] - seeds[:, -1], axis=-1)
+        # exact lexicographic (cost, dist): among min-cost seeds, min dist
+        min_cost = jnp.min(costs)
+        best = jnp.argmin(jnp.where(costs == min_cost, dists, jnp.inf))
+        return seeds[best], costs, dists
+
+    # -- public API -----------------------------------------------------------
+
+    def plan(
+        self,
+        qc,
+        RT,
+        sdf_cost_obstacle,
+        base_position,
+        q_solution=None,
+        use_standoff: bool = True,
+        axis_standoff: str = "x",
+    ):
+        """Single-goal plan (parity: gto_planner.py:145-182).
+
+        Returns (Q (ndof, T), dQ (ndof, T-1), cost)."""
+        RTs = np.asarray(RT)[None]
+        q_solutions = None if q_solution is None else np.asarray(q_solution).reshape(-1, 1)
+        # parity: the reference's plan() never sets the sdf_cost_all
+        # parameter, which therefore stays zero in the NLP — only the final
+        # phase sees the obstacle field (gto_planner.py:164-173)
+        zeros_all = np.zeros_like(np.asarray(sdf_cost_obstacle))
+        return self.plan_goalset(
+            qc,
+            RTs,
+            zeros_all,
+            sdf_cost_obstacle,
+            base_position,
+            q_solutions=q_solutions,
+            use_standoff=use_standoff,
+            axis_standoff=axis_standoff,
+        )
+
+    def plan_goalset(
+        self,
+        qc,
+        RTs,
+        sdf_cost_all,
+        sdf_cost_obstacle,
+        base_position,
+        q_solutions=None,
+        use_standoff: bool = True,
+        axis_standoff: str = "x",
+        interpolate: bool = True,
+        goal_capacity: Optional[int] = None,
+    ):
+        """Goal-set plan (parity: gto_planner.py:185-245).
+
+        qc: (ndof,); RTs: (n, 4, 4) candidate grasp poses (of link_ee);
+        sdf fields: flat (field_size,) cost arrays on the robot's grid;
+        q_solutions: optional (ndof, k) IK warm-start candidates.
+        `goal_capacity` pads the goal set to a static size so repeated calls
+        with different n reuse one compiled program.
+        Returns (Q (ndof, T), dQ (ndof, T-1), cost (1,))."""
+        robot = self.robot
+        dtype = robot.dtype
+        qc = jnp.asarray(qc, dtype).reshape(-1)
+        RTs = np.asarray(RTs)
+        n = RTs.shape[0]
+        cap = goal_capacity or n
+        assert n <= cap
+
+        tf_goal = np.tile(np.eye(4, dtype=np.float32)[None], (cap, 1, 1))
+        tf_goal[:n] = RTs
+        goal_mask = np.zeros(cap, dtype=bool)
+        goal_mask[:n] = True
+
+        solve_one, _ = self.setup_optimization(cap, use_standoff, axis_standoff)
+
+        # Warm start (gto_planner.py:193-219)
+        if q_solutions is None:
+            Q0_full = jnp.tile(qc[None, :], (self.T, 1))
+        elif interpolate:
+            Q0_full, _, _ = self._rank_warm_starts(
+                qc, q_solutions, sdf_cost_obstacle, base_position
+            )
+        else:
+            best_seed, _, _ = self._rank_warm_starts(
+                qc, q_solutions, sdf_cost_obstacle, base_position
+            )
+            Q0_full = jnp.tile(qc[None, :], (self.T, 1))
+            Q0_full = Q0_full.at[self.T + self.standoff_offset :].set(best_seed[-1])
+
+        q_param = robot.extract_parameter_dimensions(qc[:, None])[:, 0]
+        qc_opt = robot.extract_optimized_dimensions(qc[:, None])[:, 0]
+        X0 = robot.extract_optimized_dimensions(jnp.asarray(Q0_full, dtype).T).T[2:]
+
+        params = {
+            "q_param": q_param,
+            "tf_goal": jnp.asarray(tf_goal, dtype),
+            "goal_mask": jnp.asarray(goal_mask),
+            "base_position": jnp.asarray(base_position, dtype),
+            "sdf_cost_all": jnp.asarray(sdf_cost_all, dtype),
+            "sdf_cost_obstacle": jnp.asarray(sdf_cost_obstacle, dtype),
+        }
+
+        Q_opt, cost, aux = solve_one(qc_opt, X0, params)
+        Q_full = jax.vmap(lambda col: robot.assemble_q(col, q_param))(Q_opt)  # (T, ndof)
+        Q = np.asarray(Q_full).T  # (ndof, T)
+        dQ = np.zeros((robot.ndof, self.T - 1))
+        opt_idx = robot.optimized_joint_indexes
+        dQ[opt_idx, :] = (Q[opt_idx, 1:] - Q[opt_idx, :-1]) / self.dt
+        return Q, dQ, np.asarray(cost).reshape(1)
+
+    def plan_goalset_batch(
+        self,
+        qc,
+        tf_goal,
+        goal_mask,
+        sdf_cost_all,
+        sdf_cost_obstacle,
+        base_position,
+        Q0_full,
+        use_standoff: bool = True,
+        axis_standoff: str = "x",
+    ):
+        """Fully-batched goal-set planning: B independent problems in one
+        device program (the throughput path; no reference equivalent —
+        the reference plans one scene at a time).
+
+        Shapes: qc (B, ndof); tf_goal (B, cap, 4, 4); goal_mask (B, cap);
+        fields (B, field_size); base_position (B, 3); Q0_full (B, T, ndof).
+        Returns (Q (B, T, ndof), cost (B,)).
+        """
+        robot = self.robot
+        cap = tf_goal.shape[1]
+        _, solve_batch = self.setup_optimization(cap, use_standoff, axis_standoff)
+
+        ext_p = jax.vmap(lambda qq: robot.extract_parameter_dimensions(qq[:, None])[:, 0])
+        ext_o = jax.vmap(lambda qq: robot.extract_optimized_dimensions(qq[:, None])[:, 0])
+        q_param = ext_p(qc)
+        qc_opt = ext_o(qc)
+        X0 = jax.vmap(ext_o)(Q0_full[:, 2:])
+
+        params = {
+            "q_param": q_param,
+            "tf_goal": tf_goal,
+            "goal_mask": goal_mask,
+            "base_position": base_position,
+            "sdf_cost_all": sdf_cost_all,
+            "sdf_cost_obstacle": sdf_cost_obstacle,
+        }
+        Q_opt, cost, _ = solve_batch(qc_opt, X0, params)
+        Q_full = jax.vmap(jax.vmap(robot.assemble_q))(
+            Q_opt, jnp.broadcast_to(q_param[:, None, :], (qc.shape[0], self.T, q_param.shape[1]))
+        )
+        return Q_full, cost

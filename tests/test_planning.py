@@ -1,0 +1,227 @@
+"""Planning-layer tests: GTORobotModel surface points, IK, trajectory
+planning — validated on the reference's own __main__ scenarios
+(gto/ik_solver.py:133-216, gto/gto_planner.py:263-322)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from grasptrajopt_tpu.planning import BasePlanner, GTOPlanner, GTORobotModel, IKSolver
+from grasptrajopt_tpu.planning.utils import interpolate_waypoints, load_robot_config
+
+# The fixed Panda test grasp from the reference mains (gto_planner.py:282-285)
+PANDA_RT = np.array(
+    [
+        [-0.61162336, 0.79089652, 0.01998741, 0.46388378],
+        [0.7883297, 0.6071185, 0.09971584, -0.15167381],
+        [0.06673018, 0.07674521, -0.99481508, 0.22877409],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+)
+PANDA_DEFAULT = np.array([0.0, -1.285, 0, -2.356, 0.0, 1.571, 0.785, 0.0, 0.0])
+
+
+@pytest.fixture(scope="module")
+def panda(data_dir):
+    cfg = load_robot_config("panda", data_dir)
+    robot = GTORobotModel(
+        model_dir=f"{data_dir}/robots/panda",
+        urdf_filename=f"{data_dir}/robots/panda/panda.urdf",
+        time_derivs=[0, 1],
+        param_joints=cfg["param_joints"],
+        collision_link_names=cfg["collision_link_names"],
+        dtype=jnp.float64,
+    )
+    robot.setup_workspace_field(arm_len=cfg["arm_len"], arm_height=cfg["arm_height"])
+    return robot, cfg
+
+
+class TestGTORobotModel:
+    def test_surface_points(self, panda):
+        robot, cfg = panda
+        assert len(robot.surface_pc_map) == len(cfg["collision_link_names"])
+        assert robot.num_surface_points == 100 * len(cfg["collision_link_names"])
+        pts = robot.fk_surface_points(jnp.asarray(PANDA_DEFAULT, jnp.float64))
+        assert pts.shape == (robot.num_surface_points, 3)
+        # all body points within a plausible robot bounding sphere
+        assert float(jnp.linalg.norm(pts, axis=-1).max()) < 1.6
+
+    def test_field_matches_reference_shape(self, panda):
+        robot, _ = panda
+        assert robot.field_shape == (36, 56, 36)
+        assert robot.field_size == 36 * 56 * 36
+
+    def test_compute_plan_cost_zero_field(self, panda):
+        robot, _ = panda
+        plan = np.tile(PANDA_DEFAULT[:, None], (1, 5))
+        cost, dist = robot.compute_plan_cost(plan, np.zeros(robot.field_size), [0, 0, 0])
+        assert cost == 0.0
+        assert dist == 0.0
+
+    def test_batched_surface_points(self, panda):
+        robot, _ = panda
+        Q = jnp.asarray(np.tile(PANDA_DEFAULT, (4, 3, 1)), jnp.float64)
+        pts = robot.fk_surface_points(Q)
+        assert pts.shape == (4, 3, robot.num_surface_points, 3)
+
+
+class TestIKSolver:
+    def test_reference_main_scenario(self, panda):
+        """Reach the fixed grasp with position error < 1 cm and rotation
+        error < 5 deg, seeded from the current configuration (the driver's
+        convention, pybullet_gto_planning.py:249)."""
+        robot, cfg = panda
+        ik = IKSolver(robot, cfg["link_ee"], cfg["link_gripper"])
+        ik.setup_optimization()
+        q, err_pos, err_rot, cost = ik.solve_ik(
+            PANDA_DEFAULT, PANDA_RT, np.zeros(robot.field_size), [0, 0, 0], verbose=False
+        )
+        assert err_pos < 0.01, f"position error {err_pos}"
+        assert err_rot < 5.0, f"rotation error {err_rot}"
+        lo, hi = robot.lower_actuated_joint_limits, robot.upper_actuated_joint_limits
+        assert (q >= lo - 1e-9).all() and (q <= hi + 1e-9).all()
+
+    def test_multistart_escapes_local_minimum(self, panda):
+        """From the all-zeros seed plain LM lands in a flipped local minimum;
+        vmapped multi-start must recover the grasp."""
+        robot, cfg = panda
+        ik = IKSolver(robot, cfg["link_ee"], cfg["link_gripper"])
+        ik.setup_optimization()
+        q0 = np.zeros(robot.ndof)
+        q, err_pos, err_rot, cost = ik.solve_ik(
+            q0, PANDA_RT, np.zeros(robot.field_size), [0, 0, 0],
+            verbose=False, multistart=True,
+        )
+        assert err_pos < 0.01, f"position error {err_pos}"
+        assert err_rot < 5.0, f"rotation error {err_rot}"
+
+    def test_batched_ik(self, panda):
+        robot, cfg = panda
+        ik = IKSolver(robot, cfg["link_ee"], cfg["link_gripper"])
+        ik.setup_optimization()
+        # three goals: the reference grasp plus two small z-offsets
+        RTs = np.tile(PANDA_RT[None], (3, 1, 1))
+        RTs[1, 2, 3] += 0.03
+        RTs[2, 2, 3] -= 0.03
+        q, err_pos, err_rot, cost = ik.solve_ik_batch(
+            PANDA_DEFAULT, RTs, np.zeros(robot.field_size), [0, 0, 0]
+        )
+        assert q.shape == (3, robot.ndof)
+        assert (err_pos < 0.01).all(), err_pos
+        assert (err_rot < 5.0).all(), err_rot
+
+    def test_param_joints_fixed(self, panda):
+        robot, cfg = panda
+        ik = IKSolver(robot, cfg["link_ee"], cfg["link_gripper"])
+        ik.setup_optimization()
+        q0 = np.zeros(robot.ndof)
+        q0[7:9] = 0.04  # finger params must pass through untouched
+        q, *_ = ik.solve_ik(q0, PANDA_RT, np.zeros(robot.field_size), [0, 0, 0], verbose=False)
+        np.testing.assert_allclose(q[7:9], 0.04, atol=0)
+
+
+class TestGTOPlanner:
+    def test_reference_main_scenario(self, panda):
+        """gto_planner.py __main__: IK then plan with standoff, no obstacles.
+        The plan must start at qc (two pinned steps), respect limits, and
+        end with the gripper at the goal."""
+        robot, cfg = panda
+        ik = IKSolver(robot, cfg["link_ee"], cfg["link_gripper"])
+        ik.setup_optimization()
+        qc = PANDA_DEFAULT.copy()
+        sdf_zero = np.zeros(robot.field_size)
+        q_sol, err_pos, err_rot, _ = ik.solve_ik(qc, PANDA_RT, sdf_zero, [0, 0, 0], verbose=False)
+        assert err_pos < 0.01
+
+        planner = GTOPlanner(robot, cfg["link_ee"], cfg["link_gripper"])
+        Q, dQ, cost = planner.plan(
+            qc, PANDA_RT, sdf_zero, [0, 0, 0], q_sol,
+            use_standoff=True, axis_standoff=cfg["axis_standoff"],
+        )
+        assert Q.shape == (robot.ndof, 50)
+        assert dQ.shape == (robot.ndof, 49)
+
+        # starts at qc, first two steps pinned (zero initial velocity)
+        np.testing.assert_allclose(Q[:, 0], qc, atol=1e-9)
+        np.testing.assert_allclose(Q[:, 1], qc, atol=1e-9)
+        # param joints stay at qc
+        np.testing.assert_allclose(Q[7:9, :], np.tile(qc[7:9, None], (1, 50)), atol=1e-9)
+        # joint limits
+        lo, hi = robot.lower_actuated_joint_limits, robot.upper_actuated_joint_limits
+        assert (Q >= lo[:, None] - 1e-6).all() and (Q <= hi[:, None] + 1e-6).all()
+
+        # final gripper pose reaches the goal
+        T_end = np.asarray(
+            robot.get_global_link_transform(cfg["link_gripper"], jnp.asarray(Q[:, -1]))
+        )
+        err_end = np.linalg.norm(T_end[:3, 3] - PANDA_RT[:3, 3])
+        assert err_end < 0.02, f"final gripper position error {err_end}"
+
+        # standoff step hovers ~0.1 m behind the goal along its z-axis
+        T_stand = np.asarray(
+            robot.get_global_link_transform(cfg["link_gripper"], jnp.asarray(Q[:, 40]))
+        )
+        offset_world = PANDA_RT[:3, :3] @ np.array([0, 0, -0.1])
+        err_stand = np.linalg.norm(T_stand[:3, 3] - (PANDA_RT[:3, 3] + offset_world))
+        assert err_stand < 0.03, f"standoff position error {err_stand}"
+
+    def test_goalset_picks_reachable_goal(self, panda):
+        robot, cfg = panda
+        ik = IKSolver(robot, cfg["link_ee"], cfg["link_gripper"])
+        ik.setup_optimization()
+        qc = PANDA_DEFAULT.copy()
+        sdf_zero = np.zeros(robot.field_size)
+        q_sol, *_ = ik.solve_ik(qc, PANDA_RT, sdf_zero, [0, 0, 0], verbose=False)
+
+        # goal 0 is far away / implausible; goal 1 is the reference grasp
+        RT_far = PANDA_RT.copy()
+        RT_far[:3, 3] = [2.5, 2.5, 2.5]
+        RTs = np.stack([RT_far, PANDA_RT])
+
+        planner = GTOPlanner(robot, cfg["link_ee"], cfg["link_gripper"])
+        Q, dQ, cost = planner.plan_goalset(
+            qc, RTs, sdf_zero, sdf_zero, [0, 0, 0],
+            q_solutions=q_sol.reshape(-1, 1),
+            use_standoff=True, axis_standoff=cfg["axis_standoff"],
+        )
+        T_end = np.asarray(
+            robot.get_global_link_transform(cfg["link_gripper"], jnp.asarray(Q[:, -1]))
+        )
+        err = np.linalg.norm(T_end[:3, 3] - PANDA_RT[:3, 3])
+        assert err < 0.02, f"picked wrong goal? err={err}"
+
+
+class TestBasePlanner:
+    def test_base_moves_toward_out_of_reach_goal(self, panda):
+        """A goal translated 1.5 m along +x is unreachable from a fixed base;
+        the planner must move the base toward it (parity scenario:
+        base_planner.py:230-289, which perturbs the grasp and solves)."""
+        robot, cfg = panda
+        planner = BasePlanner(robot, cfg["link_ee"], cfg["link_gripper"], iterations=60)
+        planner.setup_optimization(goal_size=1)
+        RT = PANDA_RT.copy()
+        RT[0, 3] += 1.5
+        Q, y, err_pos, err_rot, col = planner.plan_goalset(
+            PANDA_DEFAULT, RT[None], verbose=False
+        )
+        assert Q.shape == (robot.ndof, 1)
+        # y is "old base in new base" (base_planner.py:53 comment): a base
+        # moving +x toward the goal gives a negative y[0]
+        assert y[0] < -0.5, f"base did not move: {y}"
+        assert err_pos[0] < 0.05, f"err_pos {err_pos}"
+        assert err_rot[0] < 10.0, f"err_rot {err_rot}"
+
+
+class TestInterpolation:
+    def test_two_waypoint_cubic_matches_scipy(self):
+        from scipy.interpolate import CubicSpline
+
+        qc = np.array([0.0, 1.0, -2.0])
+        qs = np.array([1.0, -1.0, 0.5])
+        n = 50
+        got = interpolate_waypoints(np.stack([qc, qs]), n, 3, mode="cubic")
+        t = np.linspace(0, 1, n + 2)
+        for i in range(3):
+            f = CubicSpline([0, 1], [qc[i], qs[i]], bc_type="clamped")
+            np.testing.assert_allclose(got[:, i], f(t[1:-1]), atol=1e-12)
