@@ -1,0 +1,168 @@
+"""Benchmark: collision-aware grasp-trajectory solves per second on TPU.
+
+Measures the flagship path — batched goal-set trajectory optimization
+(GTOPlanner core program: 50-step horizon, goal-set point matching with
+standoff, trilinear SDF obstacle cost over all body surface points, box
+limits, 50 projected-LM iterations) — and reports throughput against the
+reference's CPU pipeline.
+
+Baseline (BASELINE.md): the reference's mean planning time per object is
+10.25 s on the Panda tabletop split => 0.0976 plans/s. Its solves are
+Ipopt with max_iter=100 on the same problem shape (T=50, ~1.2k surface
+points, 1e5+ voxel field).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PLANS_PER_S = 1.0 / 10.25  # Panda tabletop GTO mean planning time
+
+
+def main():
+    # Configuration via env for experimentation; defaults sized for one chip.
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    goal_capacity = int(os.environ.get("BENCH_GOALS", "8"))
+    iterations = int(os.environ.get("BENCH_ITERS", "50"))
+    points_per_link = int(os.environ.get("BENCH_PPL", "100"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    robot_name = os.environ.get("BENCH_ROBOT", "panda")
+    data_dir = os.environ.get("GTO_DATA_DIR", "/root/reference/data")
+
+    import jax
+    import jax.numpy as jnp
+
+    from grasptrajopt_tpu.planning.gto_planner import GTOPlanner
+    from grasptrajopt_tpu.planning.gto_models import GTORobotModel
+
+    use_reference_robot = os.path.isdir(os.path.join(data_dir, "robots", robot_name))
+    if use_reference_robot:
+        from grasptrajopt_tpu.planning.utils import load_robot_config
+
+        cfg = load_robot_config(robot_name, data_dir)
+        # config paths are "data/..." relative to the tree that CONTAINS data/
+        urdf_rel = cfg["urdf_robot_path"].split("data/", 1)[-1]
+        robot = GTORobotModel(
+            model_dir=os.path.join(data_dir, "robots", cfg["robot_name"]),
+            urdf_filename=os.path.join(data_dir, urdf_rel),
+            time_derivs=[0, 1],
+            param_joints=cfg["param_joints"],
+            collision_link_names=cfg["collision_link_names"],
+            points_per_link=points_per_link,
+            dtype=jnp.float32,
+        )
+        robot.setup_workspace_field(arm_len=cfg["arm_len"], arm_height=cfg["arm_height"])
+        link_ee, link_gripper = cfg["link_ee"], cfg["link_gripper"]
+        axis_standoff = cfg["axis_standoff"]
+        qc = np.asarray(cfg["default_pose"], np.float32)
+        # representative grasp (the reference mains' fixed test grasp)
+        RT = np.array(
+            [
+                [-0.61162336, 0.79089652, 0.01998741, 0.46388378],
+                [0.7883297, 0.6071185, 0.09971584, -0.15167381],
+                [0.06673018, 0.07674521, -0.99481508, 0.22877409],
+                [0.0, 0.0, 0.0, 1.0],
+            ],
+            dtype=np.float32,
+        )
+    else:
+        from grasptrajopt_tpu.testing import (
+            SYNTH_DEFAULT_POSE,
+            SYNTH_LINK_EE,
+            SYNTH_LINK_GRIPPER,
+            make_synthetic_goal,
+            make_synthetic_gto_robot,
+        )
+
+        robot = make_synthetic_gto_robot(points_per_link=points_per_link)
+        link_ee, link_gripper = SYNTH_LINK_EE, SYNTH_LINK_GRIPPER
+        axis_standoff = "z"
+        qc = SYNTH_DEFAULT_POSE.astype(np.float32)
+        RT = make_synthetic_goal(0).astype(np.float32)
+
+    planner = GTOPlanner(robot, link_ee, link_gripper, iterations=iterations)
+    _, solve_batch = planner.setup_optimization(
+        goal_size=goal_capacity, use_standoff=True, axis_standoff=axis_standoff
+    )
+
+    # Problem batch: jittered copies of the representative grasp goal set,
+    # a synthetic tabletop obstacle field per problem.
+    rng = np.random.default_rng(0)
+    tf_goal = np.tile(RT, (batch, goal_capacity, 1, 1)).astype(np.float32)
+    tf_goal[..., :3, 3] += rng.normal(scale=0.02, size=(batch, goal_capacity, 3)).astype(np.float32)
+    goal_mask = np.ones((batch, goal_capacity), dtype=bool)
+
+    grid = robot.grid
+    pts = grid.grid_points()
+    in_table = (pts[:, 2] > 0.1) & (pts[:, 2] < 0.15)
+    field = np.zeros(grid.size, dtype=np.float32)
+    field[in_table] = 0.03
+    fields = np.tile(field, (batch, 1))
+
+    n_opt = robot.num_opt_joints
+    opt_idx = robot.optimized_joint_indexes
+    par_idx = robot.parameter_joint_indexes
+    qc_opt = np.tile(qc[opt_idx], (batch, 1))
+    q_param = np.tile(qc[par_idx], (batch, 1)) if par_idx else np.zeros((batch, 0), np.float32)
+    X0 = np.tile(qc_opt[:, None, :], (1, planner.T - 2, 1))
+
+    params = {
+        "q_param": jnp.asarray(q_param),
+        "tf_goal": jnp.asarray(tf_goal),
+        "goal_mask": jnp.asarray(goal_mask),
+        "base_position": jnp.zeros((batch, 3), jnp.float32),
+        "sdf_cost_all": jnp.asarray(fields),
+        "sdf_cost_obstacle": jnp.asarray(fields),
+    }
+    qc_opt = jnp.asarray(qc_opt)
+    X0 = jnp.asarray(X0)
+
+    # Warmup / compile
+    t0 = time.time()
+    Q, cost, _ = solve_batch(qc_opt, X0, params)
+    Q.block_until_ready()
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        Q, cost, _ = solve_batch(qc_opt, X0, params)
+        Q.block_until_ready()
+        times.append(time.time() - t0)
+    best = min(times)
+    plans_per_s = batch / best
+
+    result = {
+        "metric": "grasp_trajectory_solves_per_s",
+        "value": round(plans_per_s, 3),
+        "unit": "plans/s per chip",
+        "vs_baseline": round(plans_per_s / BASELINE_PLANS_PER_S, 1),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "robot": robot.name,
+                    "batch": batch,
+                    "goal_capacity": goal_capacity,
+                    "iterations": iterations,
+                    "surface_points": robot.num_surface_points,
+                    "field_size": robot.field_size,
+                    "compile_s": round(compile_s, 1),
+                    "step_s": round(best, 4),
+                    "device": str(jax.devices()[0]),
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

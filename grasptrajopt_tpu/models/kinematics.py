@@ -29,7 +29,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from grasptrajopt_tpu.models.urdf import Urdf
-from grasptrajopt_tpu.spatial import angvec2r, rpy2r, rt2tr
+from grasptrajopt_tpu.spatial import angvec2r, rt2tr
 
 JOINT_FIXED = 0
 JOINT_REVOLUTE = 1  # includes 'continuous'
@@ -41,6 +41,29 @@ _TYPE_CODE = {
     "continuous": JOINT_REVOLUTE,
     "prismatic": JOINT_PRISMATIC,
 }
+
+
+def _host_rt2tr(rpy, xyz) -> np.ndarray:
+    """Host-side float64 fixed transform from URDF origin (numpy, so it
+    stays exact regardless of the jax x64 flag)."""
+    r, p, y = rpy
+
+    def rx(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+    def ry(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+    def rz(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    T = np.eye(4)
+    T[:3, :3] = rz(y) @ ry(p) @ rx(r)
+    T[:3, 3] = xyz
+    return T
 
 
 class JointTypeNotSupported(NotImplementedError):
@@ -97,9 +120,7 @@ class KinematicModel:
             if j.type != "fixed":
                 joint_index[f] = joint_idx_of[j.name]
             axis[f] = np.asarray(j.axis, dtype=np.float64)
-            T_fixed[f] = np.asarray(
-                rt2tr(rpy2r(jnp.asarray(j.rpy, dtype=jnp.float64)), jnp.asarray(j.xyz, dtype=jnp.float64))
-            )
+            T_fixed[f] = _host_rt2tr(j.rpy, j.xyz)
 
         self.parent = parent
         self.joint_type = joint_type

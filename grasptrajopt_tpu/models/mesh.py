@@ -143,6 +143,98 @@ def _load_stl_ascii(text: str) -> TriangleMesh:
     return TriangleMesh(vertices=vertices, faces=faces)
 
 
+def box_mesh(size) -> TriangleMesh:
+    """Axis-aligned box centered at the origin (URDF <box size=...>)."""
+    hx, hy, hz = (float(s) / 2.0 for s in size)
+    v = np.array(
+        [[x, y, z] for x in (-hx, hx) for y in (-hy, hy) for z in (-hz, hz)]
+    )
+    quads = [
+        (0, 1, 3, 2), (4, 6, 7, 5),
+        (0, 4, 5, 1), (2, 3, 7, 6),
+        (0, 2, 6, 4), (1, 5, 7, 3),
+    ]
+    faces = []
+    for a, b, c, d in quads:
+        faces += [[a, b, c], [a, c, d]]
+    return TriangleMesh(vertices=v, faces=np.asarray(faces, dtype=np.int32))
+
+
+def cylinder_mesh(radius: float, length: float, segments: int = 24) -> TriangleMesh:
+    """Z-axis cylinder centered at the origin (URDF convention)."""
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    ring = np.stack([radius * np.cos(ang), radius * np.sin(ang)], axis=1)
+    top = np.concatenate([ring, np.full((segments, 1), length / 2)], axis=1)
+    bot = np.concatenate([ring, np.full((segments, 1), -length / 2)], axis=1)
+    centers = np.array([[0, 0, length / 2], [0, 0, -length / 2]])
+    verts = np.concatenate([top, bot, centers])
+    ci_top, ci_bot = 2 * segments, 2 * segments + 1
+    faces = []
+    for i in range(segments):
+        j = (i + 1) % segments
+        # side quad
+        faces += [[i, segments + i, segments + j], [i, segments + j, j]]
+        # caps
+        faces += [[ci_top, i, j], [ci_bot, segments + j, segments + i]]
+    return TriangleMesh(vertices=verts, faces=np.asarray(faces, dtype=np.int32))
+
+
+def sphere_mesh(radius: float, subdiv: int = 2) -> TriangleMesh:
+    """Icosphere of the given radius."""
+    t = (1.0 + 5**0.5) / 2.0
+    verts = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        dtype=float,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ]
+    )
+    for _ in range(subdiv):
+        verts_list = list(verts)
+        cache = {}
+        new_faces = []
+        for a, b, c in faces:
+            mids = []
+            for i, j in ((a, b), (b, c), (c, a)):
+                key = (min(i, j), max(i, j))
+                if key not in cache:
+                    m = (verts_list[i] + verts_list[j]) / 2
+                    cache[key] = len(verts_list)
+                    verts_list.append(m / np.linalg.norm(m))
+                mids.append(cache[key])
+            ab, bc, ca = mids
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.asarray(verts_list)
+        faces = np.asarray(new_faces)
+    return TriangleMesh(vertices=verts * radius, faces=faces.astype(np.int32))
+
+
+def geometry_mesh(geom, model_dir: str = "") -> Optional[TriangleMesh]:
+    """Mesh for a UrdfGeometry: file mesh (scaled) or analytic primitive."""
+    if geom.mesh_filename is not None:
+        mesh = load_mesh(os.path.join(model_dir, geom.mesh_filename))
+        if any(abs(s - 1.0) > 1e-12 for s in geom.mesh_scale):
+            mesh = mesh.scaled(geom.mesh_scale)
+        return mesh
+    if geom.box_size is not None:
+        return box_mesh(geom.box_size)
+    if geom.cylinder_radius is not None:
+        return cylinder_mesh(geom.cylinder_radius, geom.cylinder_length or 0.0)
+    if geom.sphere_radius is not None:
+        return sphere_mesh(geom.sphere_radius)
+    return None
+
+
 def load_mesh(path: str) -> TriangleMesh:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".obj":

@@ -26,10 +26,10 @@ import jax.numpy as jnp
 
 from grasptrajopt_tpu.fields.surface_point_cloud import SurfacePointCloud, get_surface_point_cloud
 from grasptrajopt_tpu.fields.voxel_grid import OccupancyGrid2D, VoxelGrid
-from grasptrajopt_tpu.models.mesh import load_mesh
+from grasptrajopt_tpu.models.mesh import geometry_mesh, load_mesh
 from grasptrajopt_tpu.models.robot import RobotModel
 from grasptrajopt_tpu.ops import min_sqdist
-from grasptrajopt_tpu.spatial import rpy2r, rt2tr, transform_points
+from grasptrajopt_tpu.spatial import transform_points
 
 
 class GTORobotModel(RobotModel):
@@ -82,14 +82,13 @@ class GTORobotModel(RobotModel):
         out: Dict[str, SurfacePointCloud] = {}
         for link in self.urdf.links:
             visual = link.visual
-            if visual is None or visual.geometry.mesh_filename is None:
+            if visual is None:
                 continue
             if self.collision_link_names is not None and link.name not in self.collision_link_names:
                 continue
-            path = os.path.join(self.model_dir, visual.geometry.mesh_filename)
-            mesh = load_mesh(path)
-            if any(abs(s - 1.0) > 1e-12 for s in visual.geometry.mesh_scale):
-                mesh = mesh.scaled(visual.geometry.mesh_scale)
+            mesh = geometry_mesh(visual.geometry, self.model_dir)
+            if mesh is None:
+                continue
             seed = zlib.crc32(link.name.encode())
             points, normals = mesh.sample_surface(self.points_per_link, seed=seed)
             out[link.name] = SurfacePointCloud(mesh, points, normals)
@@ -102,15 +101,12 @@ class GTORobotModel(RobotModel):
         self._link_points_local: List[jnp.ndarray] = []
         self._link_normals_local: List[jnp.ndarray] = []
         self._visual_offsets: Dict[str, np.ndarray] = {}
+        from grasptrajopt_tpu.models.kinematics import _host_rt2tr
+
         for name in self._surface_links:
             link = self.urdf.link_map[name]
             visual = link.visual
-            V = np.asarray(
-                rt2tr(
-                    rpy2r(jnp.asarray(visual.rpy, jnp.float64)),
-                    jnp.asarray(visual.xyz, jnp.float64),
-                )
-            )
+            V = _host_rt2tr(visual.rpy, visual.xyz)
             self._visual_offsets[name] = V
             pc = self.surface_pc_map[name]
             pts = pc.points @ V[:3, :3].T + V[:3, 3]
