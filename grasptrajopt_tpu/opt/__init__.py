@@ -29,10 +29,32 @@ from grasptrajopt_tpu.opt.trajectory import (
     TrajectoryConfig,
     make_trajectory_solver,
 )
+from grasptrajopt_tpu.opt.layout import BlockLayout
+from grasptrajopt_tpu.opt.builder import OptimizationBuilder
+from grasptrajopt_tpu.opt.taxonomy import Optimization
+from grasptrajopt_tpu.opt.al_sqp import ALSQPConfig, make_al_sqp_solver
+from grasptrajopt_tpu.opt.qp import ADMMConfig, solve_qp_admm
+from grasptrajopt_tpu.opt.solver import (
+    ADMMQPSolver,
+    ALSQPSolver,
+    ScipyMinimizeSolver,
+    Solver,
+)
 
 __all__ = [
     "make_box_lm_solver",
     "solve_box_lm",
     "TrajectoryConfig",
     "make_trajectory_solver",
+    "BlockLayout",
+    "OptimizationBuilder",
+    "Optimization",
+    "ALSQPConfig",
+    "make_al_sqp_solver",
+    "ADMMConfig",
+    "solve_qp_admm",
+    "Solver",
+    "ALSQPSolver",
+    "ADMMQPSolver",
+    "ScipyMinimizeSolver",
 ]
