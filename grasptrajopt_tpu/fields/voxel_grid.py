@@ -25,7 +25,11 @@ from grasptrajopt_tpu.ops import (
     field_lookup_trilinear,
     points_to_offsets,
 )
-from grasptrajopt_tpu.ops.interp import points_to_offsets_2d
+from grasptrajopt_tpu.ops.interp import (
+    field_lookup_trilinear_packed,
+    pack_corners,
+    points_to_offsets_2d,
+)
 
 DEFAULT_MARGIN = 0.4
 DEFAULT_RESOLUTION = 0.05
@@ -113,6 +117,16 @@ class VoxelGrid:
         if interp == "nearest":
             return self.lookup_nearest(field_flat, points)
         raise ValueError(f"unknown interp mode '{interp}'")
+
+    def pack(self, field_flat):
+        """Pack the 8 trilinear corners per cell: (size, 8). One contiguous
+        row gather then serves each query (ops.interp.pack_corners)."""
+        return pack_corners(field_flat, self.shape)
+
+    def lookup_packed(self, packed, points):
+        return field_lookup_trilinear_packed(
+            packed, points, jnp.asarray(self.origin), self.shape, self.resolution
+        )
 
 
 @dataclass(frozen=True)

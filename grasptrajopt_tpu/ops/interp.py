@@ -88,6 +88,60 @@ def field_lookup_trilinear(field_flat, points, origin, shape, resolution):
     return c0 * (1 - fx) + c1 * fx
 
 
+def pack_corners(field_flat, shape: Tuple[int, int, int]):
+    """Precompute the 8 trilinear corner values per cell: (S, 8).
+
+    One packed gather row replaces 8 scattered gathers in
+    `field_lookup_trilinear` — the dominant cost of the obstacle term on
+    TPU (scattered 1-float gathers are slow; one contiguous 8-float row per
+    point vectorizes). Cells in the last slab along any axis replicate the
+    boundary (matching the clamped base index of the unpacked lookup).
+    """
+    f = jnp.asarray(field_flat).reshape(shape)
+    sx, sy, sz = shape
+
+    def shifted(dx, dy, dz):
+        return f[
+            jnp.minimum(jnp.arange(sx) + dx, sx - 1)[:, None, None],
+            jnp.minimum(jnp.arange(sy) + dy, sy - 1)[None, :, None],
+            jnp.minimum(jnp.arange(sz) + dz, sz - 1)[None, None, :],
+        ]
+
+    corners = jnp.stack(
+        [
+            shifted(0, 0, 0), shifted(0, 0, 1), shifted(0, 1, 0), shifted(0, 1, 1),
+            shifted(1, 0, 0), shifted(1, 0, 1), shifted(1, 1, 0), shifted(1, 1, 1),
+        ],
+        axis=-1,
+    )
+    return corners.reshape(-1, 8)
+
+
+def field_lookup_trilinear_packed(packed, points, origin, shape, resolution):
+    """Trilinear lookup against a `pack_corners` table: one row gather plus
+    a weight dot per point. Numerically identical to
+    `field_lookup_trilinear`."""
+    packed = jnp.asarray(packed)
+    points = jnp.asarray(points)
+    origin = jnp.asarray(origin, dtype=points.dtype).reshape(3)
+    u = (points - origin) / resolution
+    hi = jnp.asarray([shape[0] - 2, shape[1] - 2, shape[2] - 2], dtype=jnp.int32)
+    base = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, hi)
+    frac = jnp.clip(u - base.astype(points.dtype), 0.0, 1.0)
+
+    offs = base[..., 2] + shape[2] * (base[..., 1] + shape[1] * base[..., 0])
+    rows = packed[offs]  # (..., 8)
+
+    fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+    wx = jnp.stack([1 - fx, fx], axis=-1)  # (..., 2)
+    wy = jnp.stack([1 - fy, fy], axis=-1)
+    wz = jnp.stack([1 - fz, fz], axis=-1)
+    w = (
+        wx[..., :, None, None] * wy[..., None, :, None] * wz[..., None, None, :]
+    ).reshape(frac.shape[:-1] + (8,))
+    return jnp.sum(rows * w, axis=-1)
+
+
 def points_to_offsets_2d(points_xy, origin, shape: Tuple[int, int], resolution):
     """2-D occupancy-grid offsets. Parity: gto/gto_models.py:247-272."""
     points_xy = jnp.asarray(points_xy)

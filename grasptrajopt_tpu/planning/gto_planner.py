@@ -118,8 +118,15 @@ class GTOPlanner:
             parts = []
             if self.collision_avoidance:
                 pts = robot.fk_surface_points(q_full, base_position=params["base_position"])
-                v_all = g.lookup(params["sdf_cost_all"], pts, self.interp)
-                v_obs = g.lookup(params["sdf_cost_obstacle"], pts, self.interp)
+                if self.interp == "trilinear":
+                    # packed-corner tables (built once per solve in `run`):
+                    # one contiguous 8-float gather per point instead of 8
+                    # scattered gathers — the obstacle term's hot path
+                    v_all = g.lookup_packed(params["packed_all"], pts)
+                    v_obs = g.lookup_packed(params["packed_obstacle"], pts)
+                else:
+                    v_all = g.lookup(params["sdf_cost_all"], pts, self.interp)
+                    v_obs = g.lookup(params["sdf_cost_obstacle"], pts, self.interp)
                 # standoff phase (t < T-10) uses the full field; the final
                 # approach uses the target-free field (gto_planner.py:117-131)
                 vals = jnp.where(t < t_standoff, v_all, v_obs)
@@ -163,6 +170,10 @@ class GTOPlanner:
         hi = jnp.asarray(robot.upper_optimized_joint_limits, dtype)
 
         def run(qc_opt, X0, params):
+            if self.collision_avoidance and self.interp == "trilinear":
+                params = dict(params)
+                params["packed_all"] = g.pack(params["sdf_cost_all"])
+                params["packed_obstacle"] = g.pack(params["sdf_cost_obstacle"])
             return solver(qc_opt, X0, lo, hi, params)
 
         solve_one = jax.jit(run)

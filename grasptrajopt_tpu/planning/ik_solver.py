@@ -117,7 +117,10 @@ class IKSolver:
             def value_fn(q_opt, params):
                 q_full = robot.assemble_q(q_opt, params["q_param"])
                 pts = robot.fk_surface_points(q_full, base_position=params["base_position"])
-                vals = g.lookup(params["sdf_cost_obstacle"], pts, self.interp)
+                if self.interp == "trilinear" and "packed_obstacle" in params:
+                    vals = g.lookup_packed(params["packed_obstacle"], pts)
+                else:
+                    vals = g.lookup(params["sdf_cost_obstacle"], pts, self.interp)
                 return 10.0 * jnp.sum(vals)
 
         solver = make_box_lm_solver(
@@ -128,8 +131,14 @@ class IKSolver:
         lo_s = jnp.clip(lo, -3.2, 3.2)  # finite sampling range for multi-start
         hi_s = jnp.clip(hi, -3.2, 3.2)
 
+        def _with_packed(params):
+            if self.collision_avoidance and self.interp == "trilinear":
+                params = dict(params)
+                params["packed_obstacle"] = grid.pack(params["sdf_cost_obstacle"])
+            return params
+
         def run(q0_opt, params):
-            return solver(q0_opt, lo, hi, params)
+            return solver(q0_opt, lo, hi, _with_packed(params))
 
         def run_multistart(q0_opt, params, key):
             """Batched multi-start: the given seed plus random restarts within
@@ -140,7 +149,8 @@ class IKSolver:
                 key, (self.num_seeds - 1, n), dtype=dtype
             ) * (hi_s - lo_s)
             seeds = jnp.concatenate([q0_opt[None], extra], axis=0)
-            xs, cs, _ = jax.vmap(lambda s: solver(s, lo, hi, params))(seeds)
+            packed = _with_packed(params)
+            xs, cs, _ = jax.vmap(lambda s: solver(s, lo, hi, packed))(seeds)
             best = jnp.argmin(cs)
             return xs[best], cs[best], {"seed": best}
 

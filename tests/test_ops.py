@@ -114,6 +114,40 @@ class TestFieldLookup:
             fd = (f(p + dp) - f(p - dp)) / (2 * eps)
             np.testing.assert_allclose(g[k], np.asarray(fd), atol=1e-4)
 
+    def test_packed_trilinear_matches_unpacked(self):
+        from grasptrajopt_tpu.ops.interp import (
+            field_lookup_trilinear_packed,
+            pack_corners,
+        )
+
+        packed = pack_corners(self.flat, self.shape)
+        assert packed.shape == (8 * 9 * 10, 8)
+        pts = RNG.uniform(-0.5, 1.2, size=(300, 3))
+        a = field_lookup_trilinear(self.flat, jnp.asarray(pts), self.origin, self.shape, self.res)
+        b = field_lookup_trilinear_packed(packed, jnp.asarray(pts), self.origin, self.shape, self.res)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    def test_packed_trilinear_gradient_matches(self):
+        import jax
+
+        from grasptrajopt_tpu.ops.interp import (
+            field_lookup_trilinear_packed,
+            pack_corners,
+        )
+
+        packed = pack_corners(self.flat, self.shape)
+        p = jnp.asarray(self.origin + np.array([2.3, 3.6, 4.1]) * self.res)
+
+        def f_unpacked(pt):
+            return field_lookup_trilinear(self.flat, pt[None], self.origin, self.shape, self.res)[0]
+
+        def f_packed(pt):
+            return field_lookup_trilinear_packed(packed, pt[None], self.origin, self.shape, self.res)[0]
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(f_packed)(p)), np.asarray(jax.grad(f_unpacked)(p)), atol=1e-10
+        )
+
     def test_clamped_outside(self):
         far = jnp.asarray([[99.0, 99.0, 99.0]])
         v = float(field_lookup_trilinear(self.flat, far, self.origin, self.shape, self.res)[0])
