@@ -1,0 +1,68 @@
+"""Visualizer smoke tests (Agg backend, file output only)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from grasptrajopt_tpu.viz import Visualizer
+
+
+def test_primitives_and_save(tmp_path):
+    vis = Visualizer()
+    vis.grid_floor()
+    vis.points(np.random.default_rng(0).normal(size=(50, 3)), rgb=[1, 0, 0], size=5)
+    vis.line([0, 0, 0], [1, 1, 1])
+    vis.sphere(radius=0.2, position=[0.5, 0, 0.5])
+    vis.box(half_extents=[0.1, 0.1, 0.1], position=[0, 0.5, 0])
+    vis.cylinder(radius=0.1, height=0.3, position=[-0.5, 0, 0])
+    vis.text([0, 0, 1.2], "hello")
+    out = tmp_path / "scene.png"
+    vis.save(str(out))
+    assert out.exists() and out.stat().st_size > 1000
+    vis.close()
+
+
+def test_robot_rendering(tmp_path, data_dir):
+    from grasptrajopt_tpu.planning import GTORobotModel
+    from grasptrajopt_tpu.planning.utils import load_robot_config
+
+    cfg = load_robot_config("panda", data_dir)
+    robot = GTORobotModel(
+        model_dir=f"{data_dir}/robots/panda",
+        urdf_filename=f"{data_dir}/robots/panda/panda.urdf",
+        collision_link_names=cfg["collision_link_names"],
+        dtype=jnp.float64,
+    )
+    q = np.asarray(cfg["default_pose"])
+    vis = Visualizer()
+    vis.grid_floor()
+    vis.robot(robot, q=q)
+    Q = np.tile(q[:, None], (1, 3))
+    Q[0, 1] = 0.5
+    Q[0, 2] = 1.0
+    vis.robot_traj(robot, Q, alpha_spec={"style": "A"})
+    out = tmp_path / "robot.png"
+    vis.save(str(out))
+    assert out.exists() and out.stat().st_size > 1000
+    vis.close()
+
+
+def test_skeleton_fallback(tmp_path):
+    from grasptrajopt_tpu.models import RobotModel
+
+    urdf = """
+    <robot name="stick"><link name="a"/><link name="b"/>
+      <joint name="j" type="revolute"><parent link="a"/><child link="b"/>
+      <origin xyz="0 0 1"/><axis xyz="0 1 0"/>
+      <limit lower="-1" upper="1" velocity="1"/></joint></robot>
+    """
+    robot = RobotModel(urdf_string=urdf, dtype=jnp.float64)
+    vis = Visualizer()
+    vis.robot(robot, q=[0.3])
+    out = tmp_path / "stick.png"
+    vis.save(str(out))
+    assert out.exists()
+    vis.close()
