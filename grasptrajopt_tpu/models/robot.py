@@ -381,6 +381,19 @@ class RobotModel(Model):
         u = jax.random.uniform(key, (n, self.ndof), dtype=self.dtype)
         return jnp.asarray(lo, self.dtype) + u * jnp.asarray(hi - lo, self.dtype)
 
+    def rnea(self, q, qd, qdd, gravity=(0.0, 0.0, -9.81)):
+        """Inverse dynamics tau = M qdd + C qd + g.
+
+        Parity: optas/models.py:1736-1888 — computed here from the
+        Lagrangian with autodiff over the batched FK (see models/dynamics),
+        which lifts the reference's serial-revolute-chain restriction.
+        """
+        from grasptrajopt_tpu.models.dynamics import make_inverse_dynamics
+
+        if not hasattr(self, "_idyn_cache") or self._idyn_cache[0] != tuple(gravity):
+            self._idyn_cache = (tuple(gravity), jax.jit(make_inverse_dynamics(self, gravity)))
+        return self._idyn_cache[1](q, qd, qdd)
+
     def add_base_frame(self, base_link: str, xyz=None, rpy=None, joint_name=None) -> None:
         """Re-root the model under a new fixed base frame.
 

@@ -45,10 +45,36 @@ class UrdfVisual:
 
 
 @dataclass
+class UrdfInertial:
+    mass: float = 0.0
+    xyz: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    rpy: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # inertia tensor entries about the inertial frame
+    ixx: float = 0.0
+    ixy: float = 0.0
+    ixz: float = 0.0
+    iyy: float = 0.0
+    iyz: float = 0.0
+    izz: float = 0.0
+
+    def inertia_matrix(self):
+        import numpy as _np
+
+        return _np.array(
+            [
+                [self.ixx, self.ixy, self.ixz],
+                [self.ixy, self.iyy, self.iyz],
+                [self.ixz, self.iyz, self.izz],
+            ]
+        )
+
+
+@dataclass
 class UrdfLink:
     name: str
     visuals: List[UrdfVisual] = field(default_factory=list)
     collisions: List[UrdfVisual] = field(default_factory=list)
+    inertial: Optional[UrdfInertial] = None
 
     @property
     def visual(self) -> Optional[UrdfVisual]:
@@ -180,6 +206,24 @@ def parse_urdf_string(text: str) -> Urdf:
             link.visuals.append(_parse_visual_like(v))
         for c in link_elem.findall("collision"):
             link.collisions.append(_parse_visual_like(c))
+        inertial_elem = link_elem.find("inertial")
+        if inertial_elem is not None:
+            xyz, rpy = _parse_origin(inertial_elem.find("origin"))
+            mass_elem = inertial_elem.find("mass")
+            inertia_elem = inertial_elem.find("inertia")
+
+            def _ia(attr):
+                if inertia_elem is None:
+                    return 0.0
+                return float(inertia_elem.get(attr, 0.0))
+
+            link.inertial = UrdfInertial(
+                mass=float(mass_elem.get("value", 0.0)) if mass_elem is not None else 0.0,
+                xyz=xyz,
+                rpy=rpy,
+                ixx=_ia("ixx"), ixy=_ia("ixy"), ixz=_ia("ixz"),
+                iyy=_ia("iyy"), iyz=_ia("iyz"), izz=_ia("izz"),
+            )
         links.append(link)
 
     joints: List[UrdfJoint] = []
