@@ -144,7 +144,7 @@ class Visualizer:
         else:
             ang = np.radians(base_orientation) if euler_degrees else base_orientation
             R = rpy2r(jnp.asarray(ang))
-        T_base = np.asarray(rt2tr(R, jnp.asarray(base_position, jnp.float64)))
+        T_base = np.asarray(rt2tr(R, jnp.asarray(base_position, dtype=jnp.result_type(R))))
 
         frames = np.asarray(robot_model.fk_all(jnp.asarray(q)))
         model_dir = model_dir or getattr(robot_model, "model_dir", "")
