@@ -123,9 +123,10 @@ class VoxelGrid:
         row gather then serves each query (ops.interp.pack_corners)."""
         return pack_corners(field_flat, self.shape)
 
-    def lookup_packed(self, packed, points):
+    def lookup_packed(self, packed, points, row_offset=0):
         return field_lookup_trilinear_packed(
-            packed, points, jnp.asarray(self.origin), self.shape, self.resolution
+            packed, points, jnp.asarray(self.origin), self.shape, self.resolution,
+            row_offset=row_offset,
         )
 
 

@@ -235,10 +235,19 @@ def geometry_mesh(geom, model_dir: str = "") -> Optional[TriangleMesh]:
     return None
 
 
-def load_mesh(path: str) -> TriangleMesh:
+def load_mesh(path: str, prefer_native: bool = True) -> TriangleMesh:
     ext = os.path.splitext(path)[1].lower()
-    if ext == ".obj":
-        return load_obj(path)
-    if ext == ".stl":
-        return load_stl(path)
-    raise ValueError(f"unsupported mesh format '{ext}' ({path})")
+    if ext not in (".obj", ".stl"):
+        raise ValueError(f"unsupported mesh format '{ext}' ({path})")
+    if prefer_native:
+        # geomcore C++ loader (grasptrajopt_tpu/native); bit-identical
+        # output, ~10x faster parsing for large OBJ files
+        try:
+            from grasptrajopt_tpu import native
+
+            result = native.load_mesh_native(path)
+            if result is not None:
+                return TriangleMesh(vertices=result[0], faces=result[1])
+        except Exception:
+            pass
+    return load_obj(path) if ext == ".obj" else load_stl(path)

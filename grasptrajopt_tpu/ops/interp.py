@@ -117,10 +117,16 @@ def pack_corners(field_flat, shape: Tuple[int, int, int]):
     return corners.reshape(-1, 8)
 
 
-def field_lookup_trilinear_packed(packed, points, origin, shape, resolution):
+def field_lookup_trilinear_packed(packed, points, origin, shape, resolution, row_offset=0):
     """Trilinear lookup against a `pack_corners` table: one row gather plus
     a weight dot per point. Numerically identical to
-    `field_lookup_trilinear`."""
+    `field_lookup_trilinear`.
+
+    `row_offset` (traced int ok) shifts the gathered row — stacking several
+    packed fields into one (k*S, 8) table lets a per-step field *selection*
+    ride the same single gather (row_offset = phase * S) instead of
+    gathering every field and masking.
+    """
     packed = jnp.asarray(packed)
     points = jnp.asarray(points)
     origin = jnp.asarray(origin, dtype=points.dtype).reshape(3)
@@ -129,7 +135,7 @@ def field_lookup_trilinear_packed(packed, points, origin, shape, resolution):
     base = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, hi)
     frac = jnp.clip(u - base.astype(points.dtype), 0.0, 1.0)
 
-    offs = base[..., 2] + shape[2] * (base[..., 1] + shape[1] * base[..., 0])
+    offs = base[..., 2] + shape[2] * (base[..., 1] + shape[1] * base[..., 0]) + row_offset
     rows = packed[offs]  # (..., 8)
 
     fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]

@@ -2,11 +2,9 @@
 
 Solves   min_x  ||r(x, p)||^2 + v(x, p)   s.t.  lo <= x <= hi
 
-with a Gauss-Newton Hessian from `r`, gradient from full autodiff (so
-value-only terms `v` steer the search), Marquardt diagonal damping adapted
-by step acceptance, and a projected backtracking line search (candidate
-steps are clipped to the box before evaluation — Bertsekas-style projected
-Newton).
+with a Gauss-Newton Hessian from `r`, Marquardt diagonal damping adapted by
+a trust-region gain ratio, and projection of the trial step onto the box
+(Bertsekas-style projected Newton).
 
 This is the IK-screen / base-pose solver: the problems the reference hands
 to Ipopt with T=1 (gto/ik_solver.py:75 max_iter=50) or goal_size columns
@@ -14,9 +12,12 @@ to Ipopt with T=1 (gto/ik_solver.py:75 max_iter=50) or goal_size columns
 per iteration is cheaper than any structure exploitation; thousands of
 instances run under vmap.
 
-Conventions: cost C(x) = sum(r^2) + v;  g = grad C / 2;  H ~= J^T J.
-The fixed iteration budget keeps the program shape-static; iterations are a
-`lax.scan`, so compile once, run for any batch.
+Each iteration evaluates the residual function exactly twice (once via
+`jax.linearize`, yielding primal + Jacobian from one pass — important when
+residuals contain SDF field gathers — and once at the trial point) and the
+value term twice (value_and_grad + trial). The gradient is assembled as
+J^T r + grad(v)/2 with the convention C = sum r^2 + v, g = grad C / 2,
+H ~= J^T J.
 """
 
 from __future__ import annotations
@@ -31,12 +32,15 @@ import jax.numpy as jnp
 class LMConfig(NamedTuple):
     iterations: int = 50
     lambda_init: float = 1e-3
-    lambda_decrease: float = 0.5
+    lambda_decrease: float = 0.35
     lambda_increase: float = 4.0
     lambda_min: float = 1e-9
     lambda_max: float = 1e8
-    alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.03)
     jitter: float = 1e-9
+    # trial step scales, evaluated in ONE vmapped pass; more candidates =
+    # better basin exploration per iteration at the cost of extra residual
+    # evaluations (cheap for dense problems)
+    alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.03)
 
 
 def make_box_lm_solver(
@@ -51,6 +55,8 @@ def make_box_lm_solver(
         e.g. the IK obstacle cost 10 * sum(sdf), gto/ik_solver.py:69, which
         is linear in field values and has no useful GN curvature)
     """
+    if value_fn is not None:
+        value_grad = jax.value_and_grad(value_fn)
 
     def cost_fn(x, params):
         r = residual_fn(x, params)
@@ -59,38 +65,53 @@ def make_box_lm_solver(
             c = c + value_fn(x, params)
         return c
 
-    grad_fn = jax.grad(cost_fn)
-
     def solve(x0, lo, hi, params):
         x0 = jnp.clip(jnp.asarray(x0), lo, hi)
         n = x0.shape[0]
         eye = jnp.eye(n, dtype=x0.dtype)
-        alphas = jnp.asarray(config.alphas, dtype=x0.dtype)
+        basis = jnp.eye(n, dtype=x0.dtype)
 
         def body(carry, _):
             x, lam, c = carry
-            r = residual_fn(x, params)
-            J = jax.jacfwd(residual_fn)(x, params)
-            H = J.T @ J
-            g = 0.5 * grad_fn(x, params)
+            r, jvp_fn = jax.linearize(lambda xx: residual_fn(xx, params), x)
+            Jt = jax.vmap(jvp_fn)(basis)  # (n, R) = J^T
+            c_now = jnp.sum(r * r)
+            g = Jt @ r
+            if value_fn is not None:
+                v, dv = value_grad(x, params)
+                c_now = c_now + v
+                g = g + 0.5 * dv
+            H = Jt @ Jt.T
 
             scale = jnp.maximum(jnp.diag(H), config.jitter)
             A = H + lam * jnp.diag(scale) + config.jitter * eye
             dx = -jnp.linalg.solve(A, g)
 
-            cands = jnp.clip(x[None, :] + alphas[:, None] * dx[None, :], lo, hi)
+            alphas = jnp.asarray(config.alphas, x.dtype)
+            cands = jnp.clip(x[None] + alphas[:, None] * dx[None], lo, hi)
             cand_costs = jax.vmap(lambda xx: cost_fn(xx, params))(cands)
             best = jnp.argmin(cand_costs)
-            best_cost = cand_costs[best]
-            accept = best_cost < c
+            x_trial = cands[best]
+            c_trial = cand_costs[best]
+            step = x_trial - x
+            pred = -2.0 * jnp.dot(g, step) - jnp.dot(step, A @ step)
+            actual = c_now - c_trial
 
-            x_new = jnp.where(accept, cands[best], x)
-            c_new = jnp.where(accept, best_cost, c)
-            lam_new = jnp.clip(
-                jnp.where(accept, lam * config.lambda_decrease, lam * config.lambda_increase),
-                config.lambda_min,
-                config.lambda_max,
+            accept = jnp.logical_and(actual > 0.0, jnp.isfinite(c_trial))
+            # gain ratio only modulates HOW MUCH lambda drops: good model
+            # agreement drops fast, weak agreement drops gently (a hard
+            # ratio gate stalls convergence under box projection)
+            ratio = actual / jnp.maximum(pred, 1e-12)
+            good = jnp.logical_and(accept, ratio > 0.25)
+
+            x_new = jnp.where(accept, x_trial, x)
+            c_new = jnp.where(accept, c_trial, c_now)
+            lam_new = jnp.where(
+                good,
+                lam * config.lambda_decrease,
+                jnp.where(accept, lam * 0.7, lam * config.lambda_increase),
             )
+            lam_new = jnp.clip(lam_new, config.lambda_min, config.lambda_max)
             return (x_new, lam_new, c_new), None
 
         init = (x0, jnp.asarray(config.lambda_init, x0.dtype), cost_fn(x0, params))

@@ -24,6 +24,17 @@ handled by freezing the active selection per iteration through a
 `pre_iteration` hook, standard for minimizing a pointwise min of smooth
 functions.
 
+Performance-critical structure (the obstacle term's field gathers dominate
+on TPU): each LM iteration runs exactly TWO full residual passes —
+  1. `jax.linearize` per step: primal residuals AND the (R, n) Jacobian
+     from one evaluation (tangents ride the linearized graph, so gathered
+     field rows are reused, never re-gathered);
+  2. one trial-point evaluation for the trust-region acceptance test
+     (gain ratio of actual vs GN-model predicted reduction), replacing a
+     multi-candidate line search.
+The gradient is assembled analytically as J^T r + the closed-form
+smoothness gradient — no separate autodiff pass.
+
 Everything is one jit program with a fixed iteration budget (`lax.scan`),
 vmappable over a batch of problem instances.
 """
@@ -36,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from grasptrajopt_tpu.ops import block_tridiag_solve
+from grasptrajopt_tpu.ops.block_tridiag import block_tridiag_matvec
 
 
 class TrajectoryConfig(NamedTuple):
@@ -44,40 +56,31 @@ class TrajectoryConfig(NamedTuple):
     smooth_weight: float = 0.0  # w = vel_weight / dt^2
     iterations: int = 50
     lambda_init: float = 1e-3
-    lambda_decrease: float = 0.5
+    lambda_decrease: float = 0.35
     lambda_increase: float = 4.0
     lambda_min: float = 1e-9
     lambda_max: float = 1e8
-    alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.03)
     jitter: float = 1e-9
+    # trial step scales (one vmapped residual pass evaluates all of them);
+    # kept short because every candidate costs a full field-gather pass
+    alphas: Tuple[float, ...] = (1.0, 0.3)
 
 
 def make_trajectory_solver(
     step_residual_fn: Callable,
     config: TrajectoryConfig,
     pre_iteration: Optional[Callable] = None,
-    step_value_fn: Optional[Callable] = None,
 ):
     """Build `solve(qc_opt, X0, lo, hi, params) -> (Q_opt, cost, aux)`.
 
     step_residual_fn(q_opt_t, t, step_aux, params) -> (R,): residuals of one
-        trajectory step (obstacle field values, masked goal point-matches...).
-        `t` is a traced int32 scalar; per-step behavior switches must use
-        jnp.where over t, keeping one shape for all steps.
-    pre_iteration(Q_opt, params) -> step_aux: computed once per LM iteration
-        from the full current trajectory (e.g. active-goal selection);
-        frozen during the step and line search.
-    step_value_fn(q_opt_t, t, step_aux, params) -> scalar: optional
-        gradient-only cost per step.
+    trajectory step. `t` is a traced int32 scalar; per-step behavior must
+    switch with jnp.where over t, keeping one shape for all steps.
+    pre_iteration(Q_opt, params) -> step_aux: per-iteration auxiliary state
+    (e.g. active-goal index), frozen during the step.
 
-    Solve inputs:
-      qc_opt: (n,) start configuration (optimized joints)
-      X0: (T - n_fixed, n) initial guess for the free steps
-      lo, hi: (n,) box limits
-      params: pytree closed over by the cost functions
-
-    Returns Q_opt (T, n) — the full optimized-joint trajectory including the
-    pinned prefix — the final cost, and diagnostics.
+    Returns the full optimized-joint trajectory (T, n) including the pinned
+    prefix, the final cost, and diagnostics.
     """
     T = config.T
     nf = config.n_fixed
@@ -85,56 +88,70 @@ def make_trajectory_solver(
     w = config.smooth_weight
 
     t_all = jnp.arange(T, dtype=jnp.int32)
+    t_free = t_all[nf:]
 
     def assemble(X, qc_opt):
         prefix = jnp.broadcast_to(qc_opt, (nf,) + qc_opt.shape)
         return jnp.concatenate([prefix, X], axis=0)  # (T, n)
 
-    def residuals_all(Q, step_aux, params):
-        return jax.vmap(lambda q, t: step_residual_fn(q, t, step_aux, params))(Q, t_all)
+    def smooth_cost(Q):
+        if w == 0.0:
+            return jnp.asarray(0.0, Q.dtype)
+        dq = Q[1:] - Q[:-1]
+        return w * jnp.sum(dq * dq)
 
-    def cost_fn(X, qc_opt, step_aux, params):
+    def smooth_grad_X(Q):
+        """d(smooth_cost)/dX / 2 (the g = grad/2 convention)."""
+        # per free col t (t = nf..T-1): w * (2 Q_t - Q_{t-1} - Q_{t+1}),
+        # last col: w * (Q_t - Q_{t-1})
+        inner = 2.0 * Q[nf:-1] - Q[nf - 1 : -2] - Q[nf + 1 :]
+        last = Q[-1] - Q[-2]
+        return w * jnp.concatenate([inner, last[None]], axis=0)
+
+    def residuals_cost(X, qc_opt, step_aux, params):
+        """One full residual pass: total cost only."""
         Q = assemble(X, qc_opt)
-        r = residuals_all(Q, step_aux, params)
-        c = jnp.sum(r * r)
-        if step_value_fn is not None:
-            vals = jax.vmap(lambda q, t: step_value_fn(q, t, step_aux, params))(Q, t_all)
-            c = c + jnp.sum(vals)
-        if w > 0.0:
-            dq = Q[1:] - Q[:-1]
-            c = c + w * jnp.sum(dq * dq)
-        return c
-
-    grad_fn = jax.grad(cost_fn)
+        r = jax.vmap(lambda q, t: step_residual_fn(q, t, step_aux, params))(Q, t_all)
+        return jnp.sum(r * r) + smooth_cost(Q)
 
     def solve(qc_opt, X0, lo, hi, params):
         n = qc_opt.shape[0]
         dtype = qc_opt.dtype
         X0 = jnp.clip(jnp.asarray(X0, dtype), lo, hi)
-        alphas = jnp.asarray(config.alphas, dtype)
         eye = jnp.eye(n, dtype=dtype)
+        basis = jnp.eye(n, dtype=dtype)
 
-        # Smoothness structure over the free steps (cols t = nf..T-1):
-        # each free col couples to its neighbors; col nf also couples to the
-        # pinned col nf-1 (contributing w to its diagonal).
         vel_diag = w * jnp.where(jnp.arange(F) < F - 1, 2.0, 1.0).astype(dtype)
         L_off = jnp.broadcast_to(-w * eye, (F - 1, n, n))
+
+        def step_lin(q_t, t, step_aux, params):
+            """Primal residuals + Jacobian from ONE evaluation."""
+            r, jvp_fn = jax.linearize(
+                lambda qq: step_residual_fn(qq, t, step_aux, params), q_t
+            )
+            J = jax.vmap(jvp_fn)(basis)  # (n, R)
+            return r, J
 
         def iteration(carry, _):
             X, lam, c, aux_prev = carry
             Q = assemble(X, qc_opt)
             step_aux = pre_iteration(Q, params) if pre_iteration is not None else aux_prev
 
-            ci = cost_fn(X, qc_opt, step_aux, params)
-            g = 0.5 * grad_fn(X, qc_opt, step_aux, params)  # (F, n)
+            # pinned-prefix residuals contribute constant cost; compute all
+            # steps' residuals but Jacobians only for free steps
+            r_all, J_allT = jax.vmap(
+                lambda q, t: step_lin(q, t, step_aux, params)
+            )(Q, t_all)  # r: (T, R); J^T: (T, n, R)
+            c_now = jnp.sum(r_all * r_all) + smooth_cost(Q)
 
-            # Per-step GN blocks for the free steps.
-            def step_jtj(q_t, t):
-                J = jax.jacfwd(lambda qq: step_residual_fn(qq, t, step_aux, params))(q_t)
-                return J.T @ J
+            Jt = J_allT[nf:]  # (F, n, R)
+            r_free = r_all[nf:]  # (F, R)
+            H_blocks = jnp.einsum("fir,fjr->fij", Jt, Jt)  # (F, n, n)
+            g = jnp.einsum("fir,fr->fi", Jt, r_free) + smooth_grad_X(Q)
 
-            H_blocks = jax.vmap(step_jtj)(Q[nf:], t_all[nf:])  # (F, n, n)
-            scale = jnp.maximum(jax.vmap(jnp.diag)(H_blocks) + vel_diag[:, None], config.jitter)
+            scale = jnp.maximum(
+                jax.vmap(jnp.diag)(H_blocks) + vel_diag[:, None], config.jitter
+            )
             D = (
                 H_blocks
                 + vel_diag[:, None, None] * eye
@@ -143,19 +160,33 @@ def make_trajectory_solver(
             )
             dX = -block_tridiag_solve(D, L_off, g)
 
+            alphas = jnp.asarray(config.alphas, dtype)
             cands = jnp.clip(X[None] + alphas[:, None, None] * dX[None], lo, hi)
-            cand_costs = jax.vmap(lambda XX: cost_fn(XX, qc_opt, step_aux, params))(cands)
+            cand_costs = jax.vmap(
+                lambda XX: residuals_cost(XX, qc_opt, step_aux, params)
+            )(cands)
             best = jnp.argmin(cand_costs)
-            best_cost = cand_costs[best]
-            accept = best_cost < ci
+            X_trial = cands[best]
+            c_trial = cand_costs[best]
+            step = X_trial - X  # actual (projected) step
+            # GN-model predicted reduction for the projected step
+            Hs = block_tridiag_matvec(D, L_off, step)
+            pred = -2.0 * jnp.sum(g * step) - jnp.sum(step * Hs)
+            actual = c_now - c_trial
 
-            X_new = jnp.where(accept, cands[best], X)
-            c_new = jnp.where(accept, best_cost, ci)
-            lam_new = jnp.clip(
-                jnp.where(accept, lam * config.lambda_decrease, lam * config.lambda_increase),
-                config.lambda_min,
-                config.lambda_max,
+            accept = jnp.logical_and(actual > 0.0, jnp.isfinite(c_trial))
+            # gain ratio modulates how fast lambda drops (no hard gate)
+            ratio = actual / jnp.maximum(pred, 1e-12)
+            good = jnp.logical_and(accept, ratio > 0.25)
+
+            X_new = jnp.where(accept, X_trial, X)
+            c_new = jnp.where(accept, c_trial, c_now)
+            lam_new = jnp.where(
+                good,
+                lam * config.lambda_decrease,
+                jnp.where(accept, lam * 0.7, lam * config.lambda_increase),
             )
+            lam_new = jnp.clip(lam_new, config.lambda_min, config.lambda_max)
             return (X_new, lam_new, c_new, step_aux), None
 
         aux0 = (
@@ -163,9 +194,11 @@ def make_trajectory_solver(
             if pre_iteration is not None
             else None
         )
-        c0 = cost_fn(X0, qc_opt, aux0, params)
+        c0 = residuals_cost(X0, qc_opt, aux0, params)
         init = (X0, jnp.asarray(config.lambda_init, dtype), c0, aux0)
-        (X, lam, c, step_aux), _ = jax.lax.scan(iteration, init, None, length=config.iterations)
+        (X, lam, c, step_aux), _ = jax.lax.scan(
+            iteration, init, None, length=config.iterations
+        )
         Q = assemble(X, qc_opt)
         return Q, c, {"lambda": lam, "step_aux": step_aux}
 

@@ -118,18 +118,21 @@ class GTOPlanner:
             parts = []
             if self.collision_avoidance:
                 pts = robot.fk_surface_points(q_full, base_position=params["base_position"])
+                # standoff phase (t < T-10) uses the full field; the final
+                # approach uses the target-free field (gto_planner.py:117-131)
                 if self.interp == "trilinear":
-                    # packed-corner tables (built once per solve in `run`):
-                    # one contiguous 8-float gather per point instead of 8
-                    # scattered gathers — the obstacle term's hot path
-                    v_all = g.lookup_packed(params["packed_all"], pts)
-                    v_obs = g.lookup_packed(params["packed_obstacle"], pts)
+                    # both packed fields live in ONE stacked (2S, 8) table
+                    # (built once per solve in `run`); the per-step field
+                    # choice is a row offset, so each point costs exactly
+                    # one contiguous 8-float gather
+                    phase = (t >= t_standoff).astype(jnp.int32)
+                    vals = g.lookup_packed(
+                        params["packed_fields"], pts, row_offset=phase * g.size
+                    )
                 else:
                     v_all = g.lookup(params["sdf_cost_all"], pts, self.interp)
                     v_obs = g.lookup(params["sdf_cost_obstacle"], pts, self.interp)
-                # standoff phase (t < T-10) uses the full field; the final
-                # approach uses the target-free field (gto_planner.py:117-131)
-                vals = jnp.where(t < t_standoff, v_all, v_obs)
+                    vals = jnp.where(t < t_standoff, v_all, v_obs)
                 parts.append(sqrt10 * vals)
 
             tf_goal_one = params["tf_goal"][goal_idx]
@@ -172,8 +175,10 @@ class GTOPlanner:
         def run(qc_opt, X0, params):
             if self.collision_avoidance and self.interp == "trilinear":
                 params = dict(params)
-                params["packed_all"] = g.pack(params["sdf_cost_all"])
-                params["packed_obstacle"] = g.pack(params["sdf_cost_obstacle"])
+                params["packed_fields"] = jnp.concatenate(
+                    [g.pack(params["sdf_cost_all"]), g.pack(params["sdf_cost_obstacle"])],
+                    axis=0,
+                )
             return solver(qc_opt, X0, lo, hi, params)
 
         solve_one = jax.jit(run)

@@ -198,7 +198,8 @@ class TestBasePlanner:
         the planner must move the base toward it (parity scenario:
         base_planner.py:230-289, which perturbs the grasp and solves)."""
         robot, cfg = panda
-        planner = BasePlanner(robot, cfg["link_ee"], cfg["link_gripper"], iterations=60)
+        # the reference gives Ipopt max_iter=100 here (base_planner.py:92)
+        planner = BasePlanner(robot, cfg["link_ee"], cfg["link_gripper"], iterations=100)
         planner.setup_optimization(goal_size=1)
         RT = PANDA_RT.copy()
         RT[0, 3] += 1.5
