@@ -292,3 +292,24 @@ class Fetch(FixedBaseRobot):
         self.cmd(q)
         for _ in range(100):
             p.stepSimulation()
+
+
+class R2D2(FixedBaseRobot):
+    """Demo robot (parity: pybullet_api.py:534)."""
+
+    def __init__(self, urdf_filename: str, base_position=(0.0, 0.0, 0.5)):
+        super().__init__(urdf_filename, base_position)
+
+
+class Nextage(FixedBaseRobot):
+    """Demo robot (parity: pybullet_api.py:539)."""
+
+    def __init__(self, urdf_filename: str, base_position=(0.0, 0.0, 0.85)):
+        super().__init__(urdf_filename, base_position)
+
+
+class KukaLWR(FixedBaseRobot):
+    """Demo robot (parity: pybullet_api.py:545)."""
+
+    def __init__(self, urdf_filename: str, base_position=(0.0, 0.0, 0.0)):
+        super().__init__(urdf_filename, base_position)

@@ -35,7 +35,10 @@ def toppra_retime(
     plan = np.asarray(plan, dtype=float)
     ndof, T = plan.shape
     ss_way = np.linspace(0.0, 1.0, T)
-    path = CubicSpline(ss_way, plan.T, bc_type="clamped")
+    path = CubicSpline(ss_way, plan.T, bc_type="natural")  # rest-to-rest comes
+    # from the x(0)=x(1)=0 TOPP boundary conditions, not the path spline;
+    # a clamped spline would create a q'~0 boundary layer that degrades the
+    # discretized recursion
     dpath = path.derivative(1)
     ddpath = path.derivative(2)
 
@@ -44,7 +47,7 @@ def toppra_retime(
     qp = dpath(s)  # (N, ndof)
     qpp = ddpath(s)
 
-    eps = 1e-9
+    eps = 1e-6
     vlims = np.asarray(vlims, dtype=float).reshape(-1)
     alims = np.asarray(alims, dtype=float).reshape(-1)
 
@@ -52,39 +55,51 @@ def toppra_retime(
     with np.errstate(divide="ignore"):
         x_vel = np.min((vlims / np.maximum(np.abs(qp), eps)) ** 2, axis=1)
 
+    # where |q'_j| ~ 0 (e.g. clamped endpoints) the acceleration constraint
+    # |q''_j x + q'_j u| <= a_j degenerates to the STATE bound
+    # x <= a_j / |q''_j| — fold it into the per-point cap
+    small = np.abs(qp) < 1e-3
+    with np.errstate(divide="ignore"):
+        state_bound = np.where(small, alims[None, :] / np.maximum(np.abs(qpp), eps), np.inf)
+    x_cap = np.minimum(x_vel, state_bound.min(axis=1))
+
     def accel_range(i, x):
         """Feasible [sddot_min, sddot_max] at grid point i given x=sdot^2."""
         lo, hi = -np.inf, np.inf
         for j in range(ndof):
             a = qp[i, j]
             b = qpp[i, j] * x
-            if abs(a) < eps:
-                continue
+            if abs(a) < 1e-3:
+                continue  # handled by the state bound above
             u1 = (alims[j] - b) / a
             u2 = (-alims[j] - b) / a
             lo = max(lo, min(u1, u2))
             hi = min(hi, max(u1, u2))
         return lo, hi
 
-    # forward pass: max reachable x under accel limits
+    # forward pass: max reachable x under accel limits (an unbounded
+    # accel range — all |q'| ~ 0, e.g. at rest endpoints of a clamped
+    # path — imposes NO restriction: jump straight to the velocity bound)
     x_fwd = np.zeros(grid_points)
     x_fwd[0] = 0.0
     for i in range(grid_points - 1):
         _, u_max = accel_range(i, x_fwd[i])
-        if not np.isfinite(u_max):
-            u_max = 0.0
-        x_next = x_fwd[i] + 2.0 * ds * max(u_max, 0.0)
-        x_fwd[i + 1] = min(max(x_next, 0.0), x_vel[i + 1])
+        if np.isfinite(u_max):
+            x_next = x_fwd[i] + 2.0 * ds * max(u_max, 0.0)
+        else:
+            x_next = x_cap[i + 1]
+        x_fwd[i + 1] = min(max(x_next, 0.0), x_cap[i + 1])
 
     # backward pass: decelerability to stop at s=1
     x = x_fwd.copy()
     x[-1] = 0.0
     for i in range(grid_points - 2, -1, -1):
         u_min, _ = accel_range(i + 1, x[i + 1])
-        if not np.isfinite(u_min):
-            u_min = 0.0
-        x_prev = x[i + 1] - 2.0 * ds * min(u_min, 0.0)
-        x[i] = min(x[i], max(x_prev, 0.0), x_vel[i])
+        if np.isfinite(u_min):
+            x_prev = x[i + 1] - 2.0 * ds * min(u_min, 0.0)
+        else:
+            x_prev = x_cap[i]
+        x[i] = min(x[i], max(x_prev, 0.0), x_cap[i])
 
     return path, s, x
 
@@ -109,11 +124,13 @@ def convert_plan_to_trajectory(
 
     path, s, x = toppra_retime(plan, vlims, alims, grid_points)
 
-    # time at each grid point: dt = ds / sdot (trapezoid on 1/sdot)
-    sdot = np.sqrt(np.maximum(x, 1e-12))
-    inv = 1.0 / sdot
+    # time per interval: dt = 2 ds / (sdot_i + sdot_{i+1}) — exact under
+    # constant acceleration within the interval, and finite at rest
+    # endpoints where sdot = 0 (a trapezoid on 1/sdot would diverge there)
+    sdot = np.sqrt(np.maximum(x, 0.0))
     ds = s[1] - s[0]
-    t_grid = np.concatenate([[0.0], np.cumsum(0.5 * (inv[1:] + inv[:-1]) * ds)])
+    pair = np.maximum(sdot[1:] + sdot[:-1], 1e-9)
+    t_grid = np.concatenate([[0.0], np.cumsum(2.0 * ds / pair)])
     duration = t_grid[-1]
 
     ts = np.linspace(0.0, duration, num_samples)

@@ -251,6 +251,38 @@ class TestDepthPointCloud:
         assert (field3[:, :, 0] == 0).all()  # cells well in front cost 0
 
 
+class TestSdfProgram:
+    """The reference's SDFCallback __main__ is the pattern here: random
+    field, evaluate f/J/H, check derivatives (gto/sdf_callback.py:186)."""
+
+    def test_value_jac_hess(self):
+        import jax.numpy as jnp
+
+        from grasptrajopt_tpu.fields.sdf_program import make_sdf_program, sdf_value_jac_hess
+
+        grid = VoxelGrid(origin=(0, 0, 0), shape=(6, 7, 8), resolution=0.1)
+        field = RNG.normal(size=grid.size)
+        value_fn, jac_fn, hess_fn = make_sdf_program(grid, field)
+        p = jnp.asarray([0.23, 0.31, 0.42])
+
+        # jacobian vs central differences (the reference's own J scheme)
+        eps = 1e-6
+        J = np.asarray(jac_fn(p))
+        for k in range(3):
+            dp = np.zeros(3)
+            dp[k] = eps
+            fd = (value_fn(p + dp) - value_fn(p - dp)) / (2 * eps)
+            np.testing.assert_allclose(J[k], np.asarray(fd), atol=1e-4)
+
+        H = np.asarray(hess_fn(p))
+        np.testing.assert_allclose(H, H.T, atol=1e-9)
+        # trilinear interpolant: pure second derivatives vanish in-cell
+        np.testing.assert_allclose(np.diag(H), 0.0, atol=1e-6)
+
+        vals, jacs, hessians = sdf_value_jac_hess(grid, field, np.tile(np.asarray(p), (4, 1)))
+        assert vals.shape == (4,) and jacs.shape == (4, 3) and hessians.shape == (4, 3, 3)
+
+
 class TestOccupancyGrid:
     def test_occupancy(self):
         pts = np.array([[1.0, 0.0, 0.5], [2.0, 1.0, 0.5]])
