@@ -35,6 +35,14 @@ def main():
     data_dir = os.environ.get("GTO_DATA_DIR", "/root/reference/data")
 
     import jax
+
+    # persistent compile cache: repeated bench runs (and the driver's
+    # end-of-round run) skip the multi-minute XLA compile when supported
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from grasptrajopt_tpu.planning.gto_planner import GTOPlanner

@@ -59,6 +59,10 @@ def make_args():
     parser.add_argument("-t", "--scene_type", default="tabletop")
     parser.add_argument("--assets_dir", default=None, help="robot/object asset tree")
     parser.add_argument("--goal_capacity", type=int, default=64)
+    parser.add_argument(
+        "--resume", default=None,
+        help="partial result JSON to resume from (finished scenes are skipped)",
+    )
     return parser.parse_args()
 
 
@@ -123,8 +127,21 @@ def main():
     total_success = 0
     count = 0
     results_scene = {}
+    # checkpoint/resume at scene granularity: partial results are flushed
+    # after every scene and can be reloaded with --resume (the reference
+    # only writes at the very end, pybullet_gto_planning.py:330-338)
+    os.makedirs("results", exist_ok=True)
+    stamp = "{:%y-%m-%d_T%H%M%S}".format(datetime.datetime.now())
+    out = os.path.join("results", f"GTO_scenereplica_{robot_name}_{scene_type}_{stamp}.json")
+    if args.resume and os.path.exists(args.resume):
+        with open(args.resume) as f:
+            results_scene = json.load(f)
+        print(f"resuming: {len(results_scene)} scenes already done")
+
     all_scene_ids = env.all_scene_ids if args.scene_id == -1 else [args.scene_id]
     for scene_id in all_scene_ids:
+        if f"{scene_id}" in results_scene:
+            continue
         print(f"===== Scene {scene_id} =====")
         meta = env.setup_scene(scene_id)
 
@@ -241,11 +258,10 @@ def main():
                 }
             results_ordering[ordering] = results
         results_scene[f"{scene_id}"] = results_ordering
+        with open(out, "w") as f:  # flush checkpoint after every scene
+            json.dump(results_scene, f)
 
     print("total success", total_success)
-    os.makedirs("results", exist_ok=True)
-    stamp = "{:%y-%m-%d_T%H%M%S}".format(datetime.datetime.now())
-    out = os.path.join("results", f"GTO_scenereplica_{robot_name}_{scene_type}_{stamp}.json")
     with open(out, "w") as f:
         json.dump(results_scene, f)
     print("wrote", out)
