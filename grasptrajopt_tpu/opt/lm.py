@@ -12,10 +12,10 @@ to Ipopt with T=1 (gto/ik_solver.py:75 max_iter=50) or goal_size columns
 per iteration is cheaper than any structure exploitation; thousands of
 instances run under vmap.
 
-Each iteration evaluates the residual function exactly twice (once via
-`jax.linearize`, yielding primal + Jacobian from one pass — important when
-residuals contain SDF field gathers — and once at the trial point) and the
-value term twice (value_and_grad + trial). The gradient is assembled as
+Each iteration evaluates the residual function in two traced passes:
+`jacfwd(..., has_aux=True)` yields primal + Jacobian from one shared trace
+(important when residuals contain SDF field gathers), and a short vmapped
+candidate ladder tests trial steps. The gradient is assembled as
 J^T r + grad(v)/2 with the convention C = sum r^2 + v, g = grad C / 2,
 H ~= J^T J.
 """
@@ -69,12 +69,16 @@ def make_box_lm_solver(
         x0 = jnp.clip(jnp.asarray(x0), lo, hi)
         n = x0.shape[0]
         eye = jnp.eye(n, dtype=x0.dtype)
-        basis = jnp.eye(n, dtype=x0.dtype)
 
         def body(carry, _):
             x, lam, c = carry
-            r, jvp_fn = jax.linearize(lambda xx: residual_fn(xx, params), x)
-            Jt = jax.vmap(jvp_fn)(basis)  # (n, R) = J^T
+
+            def f(xx):
+                r = residual_fn(xx, params)
+                return r, r
+
+            J, r = jax.jacfwd(f, has_aux=True)(x)  # J: (R, n)
+            Jt = J.T
             c_now = jnp.sum(r * r)
             g = Jt @ r
             if value_fn is not None:

@@ -25,13 +25,12 @@ handled by freezing the active selection per iteration through a
 functions.
 
 Performance-critical structure (the obstacle term's field gathers dominate
-on TPU): each LM iteration runs exactly TWO full residual passes —
-  1. `jax.linearize` per step: primal residuals AND the (R, n) Jacobian
-     from one evaluation (tangents ride the linearized graph, so gathered
-     field rows are reused, never re-gathered);
-  2. one trial-point evaluation for the trust-region acceptance test
-     (gain ratio of actual vs GN-model predicted reduction), replacing a
-     multi-candidate line search.
+on TPU): each LM iteration runs exactly TWO traced residual passes —
+  1. per-step `jacfwd(..., has_aux=True)`: primal residuals AND the (R, n)
+     Jacobian share one trace, so gathered field rows are fetched once and
+     reused by all forward tangents;
+  2. one short vmapped candidate ladder for the acceptance test (gain
+     ratio of actual vs GN-model predicted reduction adapts the damping).
 The gradient is assembled analytically as J^T r + the closed-form
 smoothness gradient — no separate autodiff pass.
 
@@ -119,18 +118,21 @@ def make_trajectory_solver(
         dtype = qc_opt.dtype
         X0 = jnp.clip(jnp.asarray(X0, dtype), lo, hi)
         eye = jnp.eye(n, dtype=dtype)
-        basis = jnp.eye(n, dtype=dtype)
 
         vel_diag = w * jnp.where(jnp.arange(F) < F - 1, 2.0, 1.0).astype(dtype)
         L_off = jnp.broadcast_to(-w * eye, (F - 1, n, n))
 
         def step_lin(q_t, t, step_aux, params):
-            """Primal residuals + Jacobian from ONE evaluation."""
-            r, jvp_fn = jax.linearize(
-                lambda qq: step_residual_fn(qq, t, step_aux, params), q_t
-            )
-            J = jax.vmap(jvp_fn)(basis)  # (n, R)
-            return r, J
+            """Primal residuals + Jacobian from ONE traced evaluation
+            (jacfwd with has_aux shares the primal computation — gathered
+            field rows are fetched once and reused by all tangents)."""
+
+            def f(qq):
+                r = step_residual_fn(qq, t, step_aux, params)
+                return r, r
+
+            J, r = jax.jacfwd(f, has_aux=True)(q_t)  # J: (R, n)
+            return r, J.T
 
         def iteration(carry, _):
             X, lam, c, aux_prev = carry
