@@ -1,0 +1,186 @@
+"""GraspPipeline: the end-to-end per-object planning pipeline as one
+framework-level component.
+
+This is the library form of what the reference's driver scripts inline
+(examples/pybullet_gto_planning.py:175-295): depth observation -> two SDF
+cost fields -> grasp-set collision pre-filter -> IK screen -> goal-set
+trajectory optimization. Every stage is batched on device; the simulator
+(or a real camera) only supplies the depth image and grasp candidates.
+
+Stage parity + the TPU upgrades:
+  - fields: DepthPointCloud.build_cost_field on the scene-bounds grid
+    (driver :175-190), one fused device program per field
+  - grasp filter: gripper surface points at every grasp standoff pose vs
+    the obstacle cloud in ONE batched SDF query; reject when >1% of points
+    are inside (driver :202-240)
+  - IK screen: the whole surviving grasp set as one vmapped multi-LM batch
+    (driver loops Ipopt per grasp, :251)
+  - plan: goal-capacity-padded goal-set solve with ranked warm starts
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from grasptrajopt_tpu.fields import DepthPointCloud
+from grasptrajopt_tpu.planning.gto_planner import GTOPlanner
+from grasptrajopt_tpu.planning.ik_solver import IKSolver
+from grasptrajopt_tpu.spatial import transform_points
+
+
+@dataclass
+class PipelineResult:
+    plan: Optional[np.ndarray]  # (ndof, T) or None at the stage that failed
+    dQ: Optional[np.ndarray]
+    cost: Optional[float]
+    n_grasps: int
+    n_collision_free: int
+    n_ik_found: int
+    checking_time: float
+    ik_time: float
+    planning_time: float
+    stage: str  # 'ok' | 'no_collision_free_grasp' | 'no_ik'
+
+
+class GraspPipeline:
+    def __init__(
+        self,
+        robot,
+        gripper_model,
+        link_ee: str,
+        link_gripper: str,
+        axis_standoff: str = "x",
+        gripper_open_offsets=(0.04, 0.04),
+        standoff_distance: float = -0.1,
+        standoff_offset: int = -10,
+        ik_collision_avoidance: bool = False,
+        ik_collision_threshold: float = 5.0,
+        collision_filter_offset: float = -0.01,
+        collision_filter_ratio: float = 0.01,
+        interpolate: bool = True,
+        use_ik_standoff: bool = False,
+        goal_capacity: int = 64,
+        depth_threshold: float = 1.5,
+    ):
+        self.robot = robot
+        self.gripper_model = gripper_model
+        self.link_ee = link_ee
+        self.link_gripper = link_gripper
+        self.axis_standoff = axis_standoff
+        self.gripper_open_offsets = np.asarray(gripper_open_offsets)
+        self.standoff_distance = standoff_distance
+        self.collision_filter_offset = collision_filter_offset
+        self.collision_filter_ratio = collision_filter_ratio
+        self.ik_collision_threshold = ik_collision_threshold
+        self.interpolate = interpolate
+        self.use_ik_standoff = use_ik_standoff
+        self.goal_capacity = goal_capacity
+        self.depth_threshold = depth_threshold
+
+        self.planner = GTOPlanner(
+            robot, link_ee, link_gripper,
+            standoff_distance=standoff_distance, standoff_offset=standoff_offset,
+        )
+        self.ik_solver = IKSolver(
+            robot, link_ee, link_gripper, collision_avoidance=ik_collision_avoidance
+        )
+        self._gripper_pts_cache = None
+
+    # -- stages ---------------------------------------------------------------
+
+    def build_fields(self, depth, K, cam_pose, target_mask):
+        """Two SDF cost fields on the scene-bounds grid: full scene and
+        target-free obstacle field."""
+        depth = np.asarray(depth)
+        depth_pc = DepthPointCloud(depth, K, cam_pose, threshold=self.depth_threshold)
+        self.robot.setup_points_field(depth_pc.points)
+        grid = self.robot.grid
+        sdf_cost_all = np.asarray(depth_pc.build_cost_field(grid))
+
+        depth_obstacle = np.array(depth, copy=True)
+        depth_obstacle[np.asarray(target_mask)] = self.depth_threshold
+        depth_pc_obstacle = DepthPointCloud(
+            depth_obstacle, K, cam_pose, target_mask, threshold=self.depth_threshold
+        )
+        sdf_cost_obstacle = np.asarray(depth_pc_obstacle.build_cost_field(grid))
+        self.ik_solver.setup_optimization(grid)
+        return depth_pc, depth_pc_obstacle, sdf_cost_all, sdf_cost_obstacle
+
+    def filter_grasps(self, RT_grasps_world, depth_pc_obstacle):
+        """Batched collision pre-filter over the whole grasp set."""
+        if self._gripper_pts_cache is None:
+            pts_local, _ = self.gripper_model.compute_fk_surface_points(self.gripper_open_offsets)
+            self._gripper_pts_cache = jnp.asarray(pts_local, jnp.float32)
+        RT_offs = np.asarray(RT_grasps_world) @ self.robot.get_standoff_pose(
+            self.collision_filter_offset, self.axis_standoff
+        )
+        pts = transform_points(jnp.asarray(RT_offs, jnp.float32), self._gripper_pts_cache)
+        n, P, _ = pts.shape
+        sdf = np.asarray(depth_pc_obstacle.get_sdf(pts.reshape(-1, 3))).reshape(n, P)
+        return (sdf < 0).mean(axis=1) <= self.collision_filter_ratio
+
+    def screen_ik(self, q0, RT_grasps_base, sdf_cost_obstacle, base_position):
+        RT_ik = RT_grasps_base
+        if self.use_ik_standoff:
+            RT_ik = RT_grasps_base @ self.robot.get_standoff_pose(
+                self.standoff_distance, self.axis_standoff
+            )
+        q_sols, err_pos, err_rot, col = self.ik_solver.solve_ik_batch(
+            q0, RT_ik, sdf_cost_obstacle, base_position
+        )
+        found = (err_pos < 0.01) & (err_rot < 5.0) & (col < self.ik_collision_threshold)
+        return q_sols, found
+
+    # -- full per-object pipeline ---------------------------------------------
+
+    def plan_object(
+        self,
+        qc,
+        depth,
+        K,
+        cam_pose,
+        target_mask,
+        RT_grasps_world,
+        base_position=(0.0, 0.0, 0.0),
+    ) -> PipelineResult:
+        qc = np.asarray(qc)
+        t0 = time.time()
+        _, depth_pc_obstacle, sdf_all, sdf_obs = self.build_fields(
+            depth, K, cam_pose, target_mask
+        )
+        keep = self.filter_grasps(RT_grasps_world, depth_pc_obstacle)
+        checking_time = time.time() - t0
+        n_grasps = len(keep)
+        RT_base = np.asarray(RT_grasps_world)[keep].copy()
+        RT_base[:, :3, 3] -= np.asarray(base_position)
+        if RT_base.shape[0] == 0:
+            return PipelineResult(None, None, None, n_grasps, 0, 0,
+                                  checking_time, 0.0, 0.0, "no_collision_free_grasp")
+
+        t0 = time.time()
+        q_sols, found = self.screen_ik(qc, RT_base, sdf_obs, base_position)
+        ik_time = time.time() - t0
+        RT_base = RT_base[found]
+        q_solutions = q_sols[found].T
+        if RT_base.shape[0] == 0:
+            return PipelineResult(None, None, None, n_grasps, int(keep.sum()), 0,
+                                  checking_time, ik_time, 0.0, "no_ik")
+
+        t0 = time.time()
+        cap = max(self.goal_capacity, RT_base.shape[0])
+        plan, dQ, cost = self.planner.plan_goalset(
+            qc, RT_base, sdf_all, sdf_obs, base_position, q_solutions,
+            use_standoff=True, axis_standoff=self.axis_standoff,
+            interpolate=self.interpolate, goal_capacity=cap,
+        )
+        planning_time = time.time() - t0
+        return PipelineResult(
+            plan, dQ, float(cost[0]), n_grasps, int(keep.sum()), int(found.sum()),
+            checking_time, ik_time, planning_time, "ok",
+        )

@@ -200,6 +200,31 @@ class TestReferenceRobots:
             got = np.asarray(robot.get_global_link_transform(link, q))
             np.testing.assert_allclose(got, want, atol=1e-10)
 
+    @pytest.mark.parametrize(
+        "rel,some_link",
+        [
+            ("robots/kuka_lwr/kuka_lwr.urdf", None),
+            ("robots/nextage/nextage.urdf", None),
+            ("robots/r2d2/r2d2.urdf", None),
+            ("robots/planar_3dof.urdf", None),
+            ("robots/panda/panda_gripper.urdf", None),
+            ("robots/fetch/fetch_gripper.urdf", None),
+        ],
+    )
+    def test_all_reference_robots_load_and_fk(self, data_dir, rel, some_link):
+        """Every URDF the reference ships parses and FKs (the reference's
+        supported-model roster: pybullet_api.py:534-577)."""
+        robot = RobotModel(urdf_filename=f"{data_dir}/{rel}", dtype=jnp.float64)
+        assert robot.ndof >= 1
+        q = np.zeros(robot.ndof)
+        frames = np.asarray(robot.fk_all(jnp.asarray(q)))
+        assert np.isfinite(frames).all()
+        # spot-check one non-root link against the oracle
+        link = some_link or robot.link_names[-1]
+        want = numpy_fk_oracle(robot.urdf, link, q, robot.actuated_joint_names)
+        got = np.asarray(robot.get_global_link_transform(link, jnp.asarray(q)))
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
     def test_assemble_extract_roundtrip(self, data_dir):
         robot = RobotModel(
             urdf_filename=f"{data_dir}/robots/panda/panda.urdf",

@@ -1,0 +1,141 @@
+"""End-to-end integration tests: obstacle-avoiding trajectory optimization
+and the full perception->screen->plan pipeline."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from grasptrajopt_tpu.planning import GTOPlanner, GTORobotModel, IKSolver
+from grasptrajopt_tpu.planning.pipeline import GraspPipeline
+from grasptrajopt_tpu.planning.utils import load_robot_config
+
+PANDA_RT = np.array(
+    [
+        [-0.61162336, 0.79089652, 0.01998741, 0.46388378],
+        [0.7883297, 0.6071185, 0.09971584, -0.15167381],
+        [0.06673018, 0.07674521, -0.99481508, 0.22877409],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+)
+PANDA_DEFAULT = np.array([0.0, -1.285, 0, -2.356, 0.0, 1.571, 0.785, 0.0, 0.0])
+
+
+@pytest.fixture(scope="module")
+def panda(data_dir):
+    cfg = load_robot_config("panda", data_dir)
+    robot = GTORobotModel(
+        model_dir=f"{data_dir}/robots/panda",
+        urdf_filename=f"{data_dir}/robots/panda/panda.urdf",
+        time_derivs=[0, 1],
+        param_joints=cfg["param_joints"],
+        collision_link_names=cfg["collision_link_names"],
+        dtype=jnp.float64,
+    )
+    robot.setup_workspace_field(arm_len=cfg["arm_len"], arm_height=cfg["arm_height"])
+    return robot, cfg
+
+
+def make_fence_field(robot, hole_center=None, hole_radius=0.12):
+    """Obstacle cost field: a vertical fence at x in [0.28, 0.34] spanning
+    y in [-0.5, 0.5], z in [0, 0.45]; optional spherical hole around the
+    target (the reference's target-free obstacle-field trick)."""
+    pts = robot.grid.grid_points().astype(np.float64)
+    in_fence = (
+        (pts[:, 0] > 0.28) & (pts[:, 0] < 0.34)
+        & (np.abs(pts[:, 1]) < 0.5)
+        & (pts[:, 2] > 0.0) & (pts[:, 2] < 0.45)
+    )
+    field = np.zeros(robot.field_size)
+    field[in_fence] = 0.05
+    if hole_center is not None:
+        dist = np.linalg.norm(pts - np.asarray(hole_center), axis=1)
+        field[dist < hole_radius] = 0.0
+    return field
+
+
+class TestObstacleAvoidance:
+    def test_plan_avoids_fence(self, panda):
+        """The optimized plan must sweep over/around a fence between the
+        start pose and the grasp, unlike the straight interpolated seed."""
+        robot, cfg = panda
+        ik = IKSolver(robot, cfg["link_ee"], cfg["link_gripper"])
+        ik.setup_optimization()
+        qc = PANDA_DEFAULT.copy()
+
+        sdf_all = make_fence_field(robot)  # standoff phase: full fence
+        sdf_obstacle = make_fence_field(robot, hole_center=PANDA_RT[:3, 3])
+
+        q_sol, err_pos, err_rot, _ = ik.solve_ik(
+            qc, PANDA_RT, np.zeros(robot.field_size), [0, 0, 0], verbose=False
+        )
+        assert err_pos < 0.01
+
+        planner = GTOPlanner(robot, cfg["link_ee"], cfg["link_gripper"], iterations=75)
+        plan, dQ, cost = planner.plan_goalset(
+            qc, PANDA_RT[None], sdf_all, sdf_obstacle, [0, 0, 0],
+            q_solutions=q_sol.reshape(-1, 1),
+            use_standoff=True, axis_standoff=cfg["axis_standoff"],
+        )
+
+        # seed trajectory cost (the straight cubic interpolation)
+        from grasptrajopt_tpu.planning.utils import interpolate_waypoints
+
+        seed = interpolate_waypoints(np.stack([qc, q_sol]), 50, robot.ndof).T
+        seed_cost, _ = robot.compute_plan_cost(seed, sdf_all, [0, 0, 0])
+        plan_cost, _ = robot.compute_plan_cost(plan, sdf_all, [0, 0, 0])
+        assert seed_cost > 1.0, f"test setup: seed should collide, cost {seed_cost}"
+        assert plan_cost < 0.25 * seed_cost, (
+            f"plan does not avoid the fence: {plan_cost} vs seed {seed_cost}"
+        )
+
+        # still reaches the goal
+        T_end = np.asarray(
+            robot.get_global_link_transform(cfg["link_gripper"], jnp.asarray(plan[:, -1]))
+        )
+        err_end = np.linalg.norm(T_end[:3, 3] - PANDA_RT[:3, 3])
+        assert err_end < 0.03, f"final position error {err_end}"
+
+
+class TestGraspPipeline:
+    def test_full_pipeline_synthetic_camera(self, panda, data_dir):
+        """Smoke the whole pipeline with a synthetic overhead depth camera:
+        a flat floor plane plus grasp candidates around the fixed grasp."""
+        robot, cfg = panda
+        gripper = GTORobotModel(
+            model_dir=f"{data_dir}/robots/panda",
+            urdf_filename=f"{data_dir}/robots/panda/panda_gripper.urdf",
+            dtype=jnp.float64,
+        )
+        pipeline = GraspPipeline(
+            robot, gripper, cfg["link_ee"], cfg["link_gripper"],
+            axis_standoff=cfg["axis_standoff"],
+            gripper_open_offsets=cfg["gripper_open_offsets"],
+            goal_capacity=4,
+        )
+
+        # overhead camera 1.4 m above the workspace looking straight down
+        H = W = 64
+        K = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]])
+        cam_pose = np.eye(4)
+        cam_pose[:3, 3] = [0.45, 0.0, 1.4]
+        cam_pose[:3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]])  # z down
+        depth = np.full((H, W), 1.4, dtype=np.float32)  # floor at z=0
+        target_mask = np.zeros((H, W), dtype=bool)
+        target_mask[28:36, 28:36] = True
+
+        RTs = np.tile(PANDA_RT[None], (3, 1, 1))
+        RTs[1, 2, 3] += 0.03
+        RTs[2, 1, 3] += 0.03
+
+        result = pipeline.plan_object(
+            PANDA_DEFAULT, depth, K, cam_pose, target_mask, RTs
+        )
+        assert result.stage == "ok", result
+        assert result.plan.shape == (robot.ndof, 50)
+        assert result.n_ik_found >= 1
+        T_end = np.asarray(
+            robot.get_global_link_transform(cfg["link_gripper"], jnp.asarray(result.plan[:, -1]))
+        )
+        errs = np.linalg.norm(RTs[:, :3, 3] - T_end[:3, 3], axis=1)
+        assert errs.min() < 0.03, f"goal errors {errs}"
