@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from grasptrajopt_tpu.models.urdf import Urdf
 from grasptrajopt_tpu.spatial import angvec2r, rt2tr
+from grasptrajopt_tpu.spatial.se3 import matmul_small
 
 JOINT_FIXED = 0
 JOINT_REVOLUTE = 1  # includes 'continuous'
@@ -163,13 +164,14 @@ class KinematicModel:
             is_pri = (jtype == JOINT_PRISMATIC)[..., None]
             R = jnp.where(is_rev, R_rev, eye3)
             t = jnp.where(is_pri, qj[..., None] * axis, jnp.zeros_like(axis))
-            local = T_fixed @ rt2tr(R, t)  # (..., F, 4, 4)
+            # elementwise small-matmul (VPU) — MXU tiles would be ~0.1% utilized
+            local = matmul_small(T_fixed, rt2tr(R, t))  # (..., F, 4, 4)
             local = local.at[..., 0, :, :].set(jnp.eye(4, dtype=dtype))
 
             # Pointer doubling: after k sweeps, acc[f] composes 2^k ancestors.
             acc, ptr = local, parent_j
             for _ in range(sweeps):
-                acc = jnp.take(acc, ptr, axis=-3) @ acc
+                acc = matmul_small(jnp.take(acc, ptr, axis=-3), acc)
                 ptr = ptr[ptr]
             return acc
 

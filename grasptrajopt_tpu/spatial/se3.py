@@ -152,13 +152,31 @@ def standoff(offset, axis: str = "x", dtype=jnp.float32):
     return jnp.eye(4, dtype=dtype).at[index, 3].set(offset)
 
 
+def matmul_small(A, B):
+    """Batched small-matrix product via broadcast-multiply + reduce.
+
+    For (..., m, k) @ (..., k, n) with tiny m/k/n (4x4 transform
+    composition, 3x3 rotations), TPU's MXU pads each operand to full
+    systolic tiles — sub-percent utilization. Expanding to
+    (..., m, k, n) elementwise products and reducing over k keeps the
+    work on the VPU at full lane occupancy instead.
+    """
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
 def transform_points(T, points):
-    """Apply (..., 4, 4) transforms to (..., N, 3) points -> (..., N, 3)."""
+    """Apply (..., 4, 4) transforms to (..., N, 3) points -> (..., N, 3).
+
+    Elementwise formulation (see matmul_small): p @ R^T is a K=3
+    contraction the MXU handles terribly; broadcast-multiply + reduce
+    keeps it on the VPU.
+    """
     R, t = tr2rt(T)
-    return points @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    out = jnp.sum(points[..., :, None, :] * R[..., None, :, :], axis=-1)
+    return out + t[..., None, :]
 
 
 def transform_directions(T, dirs):
     """Rotate (..., N, 3) direction vectors by the rotation part of T."""
     R, _ = tr2rt(T)
-    return dirs @ jnp.swapaxes(R, -1, -2)
+    return jnp.sum(dirs[..., :, None, :] * R[..., None, :, :], axis=-1)
