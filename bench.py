@@ -26,11 +26,11 @@ BASELINE_PLANS_PER_S = 1.0 / 10.25  # Panda tabletop GTO mean planning time
 
 def main():
     # Configuration via env for experimentation; defaults sized for one chip.
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     goal_capacity = int(os.environ.get("BENCH_GOALS", "8"))
     iterations = int(os.environ.get("BENCH_ITERS", "50"))
     points_per_link = int(os.environ.get("BENCH_PPL", "100"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "2"))
     robot_name = os.environ.get("BENCH_ROBOT", "panda")
     data_dir = os.environ.get("GTO_DATA_DIR", "/root/reference/data")
 

@@ -21,7 +21,7 @@ built from the same function (unit-vector probing).
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Sequence
 
 import numpy as np
 

@@ -14,7 +14,7 @@ accessors broadcast over leading batch axes of `q`.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -29,7 +29,7 @@ from grasptrajopt_tpu.models.urdf import (
     parse_urdf_file,
     parse_urdf_string,
 )
-from grasptrajopt_tpu.spatial import invt, r2quat, r2rpy, tr2rt
+from grasptrajopt_tpu.spatial import invt, r2quat, r2rpy
 
 _BIG = 1e9
 

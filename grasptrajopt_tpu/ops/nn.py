@@ -21,6 +21,7 @@ are masked with +inf before the reduction.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +77,99 @@ def min_sqdist(query, ref, ref_mask=None, chunk: int = 1024):
     idx = idxs.reshape(-1)[:M].astype(jnp.int32)
     # Guard tiny negative values from cancellation.
     return jnp.maximum(d2, 0.0), idx
+
+
+def _min_d2_impl(points, ref, use_pallas: Optional[bool] = None):
+    """(d2, idx) of nearest ref point for (..., 3) query points.
+
+    ref is a padded (K, 3) set (pad rows with coordinates far away, e.g.
+    1e6, so they never win). Dispatches to the Pallas kernel on TPU, dense
+    XLA otherwise; leading query dims are flattened around the kernel.
+    """
+    points = jnp.asarray(points)
+    ref = jnp.asarray(ref)
+    lead = points.shape[:-1]
+    flat = points.reshape(-1, 3)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        d2, idx = min_sqdist_pallas(flat, ref)
+    else:
+        # dense (N, K) — fine for the moderate K of downsampled scenes
+        d2k = (
+            jnp.sum(flat * flat, axis=-1)[:, None]
+            + jnp.sum(ref * ref, axis=-1)[None, :]
+            - 2.0 * flat @ ref.T
+        )
+        d2 = jnp.maximum(jnp.min(d2k, axis=-1), 0.0)
+        idx = jnp.argmin(d2k, axis=-1).astype(jnp.int32)
+    return d2.reshape(lead), idx.reshape(lead)
+
+
+@jax.custom_jvp
+def min_sqdist_diff(points, ref):
+    """Differentiable min squared distance to a (padded) reference set.
+
+    The derivative flows through the nearest point: d/dp min_k ||p - s_k||^2
+    = 2 (p - s_argmin). Defined via custom_jvp so forward-mode (the
+    solvers' jacfwd) gets the exact piecewise gradient without
+    differentiating through the argmin reduction — and without
+    materializing the (N, K) distance matrix in the autodiff graph. The
+    reference set is treated as constant (scene geometry).
+    """
+    d2, _ = _min_d2_impl(points, ref)
+    return d2
+
+
+@min_sqdist_diff.defjvp
+def _min_sqdist_diff_jvp(primals, tangents):
+    points, ref = primals
+    pdot, _ = tangents
+    d2, idx = _min_d2_impl(points, ref)
+    nearest = jnp.asarray(ref)[idx]  # small-table gather
+    tan = 2.0 * jnp.sum((points - nearest) * pdot, axis=-1)
+    return d2, tan
+
+
+def nearest_ref_index(points, ref):
+    """Argmin index of the nearest reference point (for sign lookups)."""
+    _, idx = _min_d2_impl(points, ref)
+    return idx
+
+
+@jax.custom_jvp
+def signed_distance_to_set(points, ref, normals):
+    """Signed distance to a padded point set with per-point normals.
+
+    sign = sign((p - s*) . n*) over the nearest point s* — the reference's
+    'normal' sign determination with k=1
+    (mesh_to_sdf/surface_point_cloud.py:32-64). Forward derivative is the
+    exact piecewise gradient sign * (p - s*) / |p - s*| via custom_jvp, so
+    solver jacfwd passes cost one kernel launch plus two small-table
+    gathers — no voxel-field gathers at all.
+    """
+    d2, idx = _min_d2_impl(points, ref)
+    ref = jnp.asarray(ref)
+    normals = jnp.asarray(normals)
+    diff = points - ref[idx]
+    sign = jnp.where(jnp.sum(diff * normals[idx], axis=-1) >= 0.0, 1.0, -1.0)
+    return sign * jnp.sqrt(jnp.maximum(d2, 1e-18))
+
+
+@signed_distance_to_set.defjvp
+def _signed_distance_jvp(primals, tangents):
+    points, ref, normals = primals
+    pdot = tangents[0]
+    d2, idx = _min_d2_impl(points, ref)
+    ref = jnp.asarray(ref)
+    normals = jnp.asarray(normals)
+    diff = points - ref[idx]
+    sign = jnp.where(jnp.sum(diff * normals[idx], axis=-1) >= 0.0, 1.0, -1.0)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-18))
+    sd = sign * d
+    # d(sd)/dp = sign * (p - s*) / d  = diff / (sign * d)  (sign^2 = 1)
+    tan = jnp.sum(diff * pdot, axis=-1) / sd
+    return sd, tan
 
 
 def _min_kernel(q_ref, r_ref, rsq_ref, out_ref, arg_ref):

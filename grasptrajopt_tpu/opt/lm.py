@@ -22,7 +22,6 @@ H ~= J^T J.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

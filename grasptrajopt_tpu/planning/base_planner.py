@@ -19,7 +19,7 @@ subset can be solved in one shot and the best picked.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+
 
 import numpy as np
 

@@ -24,9 +24,9 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from grasptrajopt_tpu.fields.surface_point_cloud import SurfacePointCloud, get_surface_point_cloud
+from grasptrajopt_tpu.fields.surface_point_cloud import SurfacePointCloud
 from grasptrajopt_tpu.fields.voxel_grid import OccupancyGrid2D, VoxelGrid
-from grasptrajopt_tpu.models.mesh import geometry_mesh, load_mesh
+from grasptrajopt_tpu.models.mesh import geometry_mesh
 from grasptrajopt_tpu.models.robot import RobotModel
 from grasptrajopt_tpu.ops import min_sqdist
 from grasptrajopt_tpu.spatial import transform_points

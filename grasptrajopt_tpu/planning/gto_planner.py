@@ -25,7 +25,7 @@ device program.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -49,7 +49,16 @@ class GTOPlanner:
         standoff_offset: int = -10,
         interp: str = "trilinear",
         iterations: int = 50,
+        obstacle_mode: str = "field",
+        sdf_epsilon: float = 0.02,
     ):
+        # obstacle_mode 'field': reference-parity voxel cost fields with
+        #   packed trilinear gathers.
+        # obstacle_mode 'points': gather-free — the eps-band cost is shaped
+        #   from the exact signed distance to downsampled scene point sets
+        #   (ops.signed_distance_to_set: MXU min-distance + normal sign).
+        self.obstacle_mode = obstacle_mode
+        self.sdf_epsilon = sdf_epsilon
         self.T = 50
         self.Tmax = 10.0
         self.dt = self.Tmax / (self.T - 1)
@@ -113,10 +122,30 @@ class GTOPlanner:
                 d_stand = jnp.zeros_like(d_final)
             return d_final, d_stand
 
+        def obstacle_values_points(pts, t, params):
+            """Direct mode: eps-band cost from exact signed distances to the
+            obstacle set, plus the target set during the standoff phase
+            (the two-field semantics of gto_planner.py:117-131)."""
+            from grasptrajopt_tpu.fields.depth_point_cloud import sdf_cost_shaping
+            from grasptrajopt_tpu.ops.nn import signed_distance_to_set
+
+            sd_obs = signed_distance_to_set(
+                pts, params["scene_points"], params["scene_normals"]
+            )
+            sd_tgt = signed_distance_to_set(
+                pts, params["target_points"], params["target_normals"]
+            )
+            sd_union = jnp.where(jnp.abs(sd_tgt) < jnp.abs(sd_obs), sd_tgt, sd_obs)
+            sd = jnp.where(t < t_standoff, sd_union, sd_obs)
+            return sdf_cost_shaping(sd, epsilon=self.sdf_epsilon)
+
         def step_residual(q_opt, t, goal_idx, params):
             q_full = robot.assemble_q(q_opt, params["q_param"])
             parts = []
-            if self.collision_avoidance:
+            if self.collision_avoidance and self.obstacle_mode == "points":
+                pts = robot.fk_surface_points(q_full, base_position=params["base_position"])
+                parts.append(sqrt10 * obstacle_values_points(pts, t, params))
+            elif self.collision_avoidance:
                 pts = robot.fk_surface_points(q_full, base_position=params["base_position"])
                 # standoff phase (t < T-10) uses the full field; the final
                 # approach uses the target-free field (gto_planner.py:117-131)
@@ -173,7 +202,11 @@ class GTOPlanner:
         hi = jnp.asarray(robot.upper_optimized_joint_limits, dtype)
 
         def run(qc_opt, X0, params):
-            if self.collision_avoidance and self.interp == "trilinear":
+            if (
+                self.collision_avoidance
+                and self.obstacle_mode == "field"
+                and self.interp == "trilinear"
+            ):
                 params = dict(params)
                 params["packed_fields"] = jnp.concatenate(
                     [g.pack(params["sdf_cost_all"]), g.pack(params["sdf_cost_obstacle"])],
@@ -188,7 +221,9 @@ class GTOPlanner:
 
     # -- warm starts ----------------------------------------------------------
 
-    def _rank_warm_starts(self, qc, q_solutions, sdf_cost_obstacle, base_position):
+    def _rank_warm_starts(
+        self, qc, q_solutions, sdf_cost_obstacle, base_position, scene_obstacle=None
+    ):
         """Interpolate each IK candidate into a seed trajectory and rank by
         (plan cost, distance) lexicographically (gto_planner.py:196-219)."""
         robot = self.robot
@@ -207,7 +242,18 @@ class GTOPlanner:
         seeds = jax.vmap(seed_for)(q_solutions.T)  # (k, T, ndof)
 
         pts = robot.fk_surface_points(seeds, base_position=jnp.asarray(base_position, dtype))
-        vals = robot.grid.lookup_nearest(jnp.asarray(sdf_cost_obstacle, dtype), pts)
+        if self.obstacle_mode == "points":
+            from grasptrajopt_tpu.fields.depth_point_cloud import sdf_cost_shaping
+            from grasptrajopt_tpu.ops.nn import signed_distance_to_set
+
+            sd = signed_distance_to_set(
+                pts,
+                jnp.asarray(scene_obstacle.points, dtype),
+                jnp.asarray(scene_obstacle.normals, dtype),
+            )
+            vals = sdf_cost_shaping(sd, epsilon=self.sdf_epsilon)
+        else:
+            vals = robot.grid.lookup_nearest(jnp.asarray(sdf_cost_obstacle, dtype), pts)
         costs = jnp.sum(vals, axis=(1, 2))  # (k,)
         dists = jnp.linalg.norm(seeds[:, 0] - seeds[:, -1], axis=-1)
         # exact lexicographic (cost, dist): among min-cost seeds, min dist
@@ -259,6 +305,8 @@ class GTOPlanner:
         axis_standoff: str = "x",
         interpolate: bool = True,
         goal_capacity: Optional[int] = None,
+        scene_obstacle=None,
+        scene_target=None,
     ):
         """Goal-set plan (parity: gto_planner.py:185-245).
 
@@ -288,11 +336,11 @@ class GTOPlanner:
             Q0_full = jnp.tile(qc[None, :], (self.T, 1))
         elif interpolate:
             Q0_full, _, _ = self._rank_warm_starts(
-                qc, q_solutions, sdf_cost_obstacle, base_position
+                qc, q_solutions, sdf_cost_obstacle, base_position, scene_obstacle
             )
         else:
             best_seed, _, _ = self._rank_warm_starts(
-                qc, q_solutions, sdf_cost_obstacle, base_position
+                qc, q_solutions, sdf_cost_obstacle, base_position, scene_obstacle
             )
             Q0_full = jnp.tile(qc[None, :], (self.T, 1))
             Q0_full = Q0_full.at[self.T + self.standoff_offset :].set(best_seed[-1])
@@ -306,9 +354,19 @@ class GTOPlanner:
             "tf_goal": jnp.asarray(tf_goal, dtype),
             "goal_mask": jnp.asarray(goal_mask),
             "base_position": jnp.asarray(base_position, dtype),
-            "sdf_cost_all": jnp.asarray(sdf_cost_all, dtype),
-            "sdf_cost_obstacle": jnp.asarray(sdf_cost_obstacle, dtype),
         }
+        if self.obstacle_mode == "points":
+            assert scene_obstacle is not None and scene_target is not None, (
+                "obstacle_mode='points' needs scene_obstacle/scene_target "
+                "ScenePointSets (fields.scene_points)"
+            )
+            params["scene_points"] = jnp.asarray(scene_obstacle.points, dtype)
+            params["scene_normals"] = jnp.asarray(scene_obstacle.normals, dtype)
+            params["target_points"] = jnp.asarray(scene_target.points, dtype)
+            params["target_normals"] = jnp.asarray(scene_target.normals, dtype)
+        else:
+            params["sdf_cost_all"] = jnp.asarray(sdf_cost_all, dtype)
+            params["sdf_cost_obstacle"] = jnp.asarray(sdf_cost_obstacle, dtype)
 
         Q_opt, cost, aux = solve_one(qc_opt, X0, params)
         Q_full = jax.vmap(lambda col: robot.assemble_q(col, q_param))(Q_opt)  # (T, ndof)

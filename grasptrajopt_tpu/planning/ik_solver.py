@@ -17,7 +17,7 @@ position + RPY costs.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -14,7 +14,6 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from grasptrajopt_tpu.fields.voxel_grid import VoxelGrid
 from grasptrajopt_tpu.planning.gto_models import GTORobotModel
 
 SYNTH_ARM_URDF = """

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import abc
 import time
-from typing import Callable, Dict, Optional, Union
+from typing import Callable, Dict, Optional
 
 import numpy as np
 import yaml
