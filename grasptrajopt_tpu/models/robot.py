@@ -129,6 +129,7 @@ class RobotModel(Model):
     def _compile(self) -> None:
         self.kinematics = KinematicModel(self.urdf)
         self._fk_all = jax.jit(self.kinematics.fk_fn(dtype=self.dtype))
+        self._fk_components = self.kinematics.fk_components_fn(dtype=self.dtype)
 
     def get_urdf(self) -> Urdf:
         return self.urdf
@@ -243,6 +244,28 @@ class RobotModel(Model):
     def fk_all(self, q):
         """World transform of every frame: q (..., ndof) -> (..., F, 4, 4)."""
         return self._fk_all(jnp.asarray(q, dtype=self.dtype))
+
+    def fk_components(self, q):
+        """Component-form FK: (R as 3x3 nested lists of (..., F), t as 3
+        list of (..., F)) — the layout-clean fast path for hot loops (see
+        KinematicModel.fk_components_fn)."""
+        return self._fk_components(jnp.asarray(q, dtype=self.dtype))
+
+    @staticmethod
+    def frame_matrix(comps, frame_idx: int):
+        """Assemble the (..., 4, 4) matrix of ONE frame from components."""
+        AR, At = comps
+        rows = []
+        for i in range(3):
+            rows.append(
+                jnp.stack(
+                    [AR[i][0][..., frame_idx], AR[i][1][..., frame_idx],
+                     AR[i][2][..., frame_idx], At[i][..., frame_idx]],
+                    axis=-1,
+                )
+            )
+        bottom = jnp.zeros_like(rows[0]).at[..., 3].set(1.0)
+        return jnp.stack(rows + [bottom], axis=-2)
 
     def frame_of(self, link: str) -> int:
         return self.kinematics.frame_of(link)

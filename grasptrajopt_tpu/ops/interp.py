@@ -148,6 +148,41 @@ def field_lookup_trilinear_packed(packed, points, origin, shape, resolution, row
     return jnp.sum(rows * w, axis=-1)
 
 
+def field_lookup_trilinear_packed_soa(
+    packed, x, y, z, origin, shape, resolution, row_offset=0
+):
+    """SoA variant of the packed trilinear lookup: coordinates arrive as
+    three (..., P) arrays (from component-form FK), so no (..., P, 3)
+    intermediate with a padded trailing dim is ever built. Numerically
+    identical to the AoS version."""
+    packed = jnp.asarray(packed)
+    origin = jnp.asarray(origin).reshape(3)
+    ox, oy, oz = origin[0], origin[1], origin[2]
+    inv = 1.0 / resolution
+    ux = (x - ox) * inv
+    uy = (y - oy) * inv
+    uz = (z - oz) * inv
+    bx = jnp.clip(jnp.floor(ux).astype(jnp.int32), 0, shape[0] - 2)
+    by = jnp.clip(jnp.floor(uy).astype(jnp.int32), 0, shape[1] - 2)
+    bz = jnp.clip(jnp.floor(uz).astype(jnp.int32), 0, shape[2] - 2)
+    fx = jnp.clip(ux - bx, 0.0, 1.0)
+    fy = jnp.clip(uy - by, 0.0, 1.0)
+    fz = jnp.clip(uz - bz, 0.0, 1.0)
+
+    offs = bz + shape[2] * (by + shape[1] * bx) + row_offset
+    rows = packed[offs]  # (..., P, 8)
+    w = jnp.stack(
+        [
+            (1 - fx) * (1 - fy) * (1 - fz), (1 - fx) * (1 - fy) * fz,
+            (1 - fx) * fy * (1 - fz), (1 - fx) * fy * fz,
+            fx * (1 - fy) * (1 - fz), fx * (1 - fy) * fz,
+            fx * fy * (1 - fz), fx * fy * fz,
+        ],
+        axis=-1,
+    )
+    return jnp.sum(rows * w, axis=-1)
+
+
 def points_to_offsets_2d(points_xy, origin, shape: Tuple[int, int], resolution):
     """2-D occupancy-grid offsets. Parity: gto/gto_models.py:247-272."""
     points_xy = jnp.asarray(points_xy)

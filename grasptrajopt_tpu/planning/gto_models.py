@@ -115,6 +115,11 @@ class GTORobotModel(RobotModel):
             self._link_points_local.append(jnp.asarray(pts, self.dtype))
             self._link_normals_local.append(jnp.asarray(nrm, self.dtype))
         self.num_surface_points = int(sum(p.shape[0] for p in self._link_points_local))
+        # SoA locals for the component-FK fast path: per link, per axis (Pl,)
+        self._link_points_soa = [
+            [jnp.asarray(np.asarray(p)[:, i], self.dtype) for i in range(3)]
+            for p in self._link_points_local
+        ]
 
     def visual_tf(self, link_name: str, q):
         """World transform of a link's visual frame (parity:
@@ -141,6 +146,33 @@ class GTORobotModel(RobotModel):
         if base_position is not None:
             world = world + jnp.asarray(base_position, self.dtype)
         return world
+
+    def surface_points_soa(self, comps, base_position=None):
+        """World surface points in SoA form from component FK.
+
+        comps: output of `fk_components(q)`. Returns (x, y, z), each
+        (..., P). Per link the world coordinate is a scalar-broadcast
+        multiply-add over the (Pl,) local coordinates — pure elementwise
+        VPU work with no (..., P, 3) or 4x4 intermediates, which is what
+        keeps the hot residual path off XLA's padded-tile layouts."""
+        AR, At = comps
+        outs = [[], [], []]
+        for fidx, (px, py, pz) in zip(self._surface_frame_idx, self._link_points_soa):
+            for i in range(3):
+                w = (
+                    AR[i][0][..., fidx, None] * px
+                    + AR[i][1][..., fidx, None] * py
+                    + AR[i][2][..., fidx, None] * pz
+                    + At[i][..., fidx, None]
+                )
+                outs[i].append(w)
+        x, y, z = (jnp.concatenate(o, axis=-1) for o in outs)
+        if base_position is not None:
+            b = jnp.asarray(base_position, self.dtype)
+            x = x + b[..., 0, None]
+            y = y + b[..., 1, None]
+            z = z + b[..., 2, None]
+        return x, y, z
 
     def compute_fk_surface_points(self, q, tf_base=None):
         """Reference-parity API returning (points (P,3), normals (P,3)) as

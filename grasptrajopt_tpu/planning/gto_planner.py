@@ -107,11 +107,9 @@ class GTOPlanner:
         pose_standoff = self._standoff_pose(axis_standoff)
         sqrt10 = jnp.asarray(np.sqrt(10.0), dtype)
 
-        def goal_diffs(q_full, tf_goal_one):
+        def goal_diffs_from(T_ee, T_grip, tf_goal_one):
             """Point differences (cur - goal-placed) for final and standoff."""
-            frames = robot.fk_all(q_full)
-            T_grip = frames[grip_frame]
-            gripper_tf = invt(frames[ee_frame]) @ T_grip
+            gripper_tf = invt(T_ee) @ T_grip
             pts_cur = transform_points(T_grip, gpts)
             d_final = pts_cur - transform_points(tf_goal_one @ gripper_tf, gpts)
             if use_standoff:
@@ -121,6 +119,10 @@ class GTOPlanner:
             else:
                 d_stand = jnp.zeros_like(d_final)
             return d_final, d_stand
+
+        def goal_diffs(q_full, tf_goal_one):
+            frames = robot.fk_all(q_full)
+            return goal_diffs_from(frames[ee_frame], frames[grip_frame], tf_goal_one)
 
         def obstacle_values_points(pts, t, params):
             """Direct mode: eps-band cost from exact signed distances to the
@@ -140,13 +142,17 @@ class GTOPlanner:
             return sdf_cost_shaping(sd, epsilon=self.sdf_epsilon)
 
         def step_residual(q_opt, t, goal_idx, params):
+            # component-form FK once per step: layout-clean scalars feed the
+            # obstacle term (SoA) AND the two goal-frame matrices
             q_full = robot.assemble_q(q_opt, params["q_param"])
+            comps = robot.fk_components(q_full)
             parts = []
             if self.collision_avoidance and self.obstacle_mode == "points":
-                pts = robot.fk_surface_points(q_full, base_position=params["base_position"])
+                x, y, z = robot.surface_points_soa(comps, params["base_position"])
+                pts = jnp.stack([x, y, z], axis=-1)
                 parts.append(sqrt10 * obstacle_values_points(pts, t, params))
             elif self.collision_avoidance:
-                pts = robot.fk_surface_points(q_full, base_position=params["base_position"])
+                x, y, z = robot.surface_points_soa(comps, params["base_position"])
                 # standoff phase (t < T-10) uses the full field; the final
                 # approach uses the target-free field (gto_planner.py:117-131)
                 if self.interp == "trilinear":
@@ -154,18 +160,29 @@ class GTOPlanner:
                     # (built once per solve in `run`); the per-step field
                     # choice is a row offset, so each point costs exactly
                     # one contiguous 8-float gather
+                    from grasptrajopt_tpu.ops.interp import (
+                        field_lookup_trilinear_packed_soa,
+                    )
+
                     phase = (t >= t_standoff).astype(jnp.int32)
-                    vals = g.lookup_packed(
-                        params["packed_fields"], pts, row_offset=phase * g.size
+                    vals = field_lookup_trilinear_packed_soa(
+                        params["packed_fields"], x, y, z,
+                        jnp.asarray(g.origin, dtype), g.shape, g.resolution,
+                        row_offset=phase * g.size,
                     )
                 else:
+                    pts = jnp.stack([x, y, z], axis=-1)
                     v_all = g.lookup(params["sdf_cost_all"], pts, self.interp)
                     v_obs = g.lookup(params["sdf_cost_obstacle"], pts, self.interp)
                     vals = jnp.where(t < t_standoff, v_all, v_obs)
                 parts.append(sqrt10 * vals)
 
             tf_goal_one = params["tf_goal"][goal_idx]
-            d_final, d_stand = goal_diffs(q_full, tf_goal_one)
+            d_final, d_stand = goal_diffs_from(
+                robot.frame_matrix(comps, ee_frame),
+                robot.frame_matrix(comps, grip_frame),
+                tf_goal_one,
+            )
             is_final = (t == T - 1).astype(dtype)
             is_stand = (t == t_standoff).astype(dtype) if use_standoff else jnp.asarray(0.0, dtype)
             parts.append((is_final * d_final + is_stand * d_stand).reshape(-1))

@@ -225,6 +225,31 @@ class TestReferenceRobots:
         got = np.asarray(robot.get_global_link_transform(link, jnp.asarray(q)))
         np.testing.assert_allclose(got, want, atol=1e-10)
 
+    def test_fk_components_match_matrix_fk(self, data_dir):
+        """The layout-optimized component FK must agree with the matrix FK
+        on every frame, batched, for both Panda (revolute+prismatic) and
+        the two-link test chain."""
+        for make in (
+            lambda: RobotModel(urdf_string=TWO_LINK, dtype=jnp.float64),
+            lambda: RobotModel(urdf_filename=f"{data_dir}/robots/panda/panda.urdf", dtype=jnp.float64),
+        ):
+            robot = make()
+            rng = np.random.default_rng(7)
+            Q = jnp.asarray(rng.uniform(-1, 1, size=(3, 4, robot.ndof)))
+            frames = np.asarray(robot.fk_all(Q))
+            AR, At = robot.fk_components(Q)
+            F = frames.shape[-3]
+            for i in range(3):
+                for j in range(3):
+                    np.testing.assert_allclose(
+                        np.asarray(AR[i][j]), frames[..., :, i, j], atol=1e-10
+                    )
+                np.testing.assert_allclose(np.asarray(At[i]), frames[..., :, i, 3], atol=1e-10)
+            # frame_matrix assembles correctly
+            for f in (0, F - 1):
+                M = np.asarray(robot.frame_matrix((AR, At), f))
+                np.testing.assert_allclose(M, frames[..., f, :, :], atol=1e-10)
+
     def test_assemble_extract_roundtrip(self, data_dir):
         robot = RobotModel(
             urdf_filename=f"{data_dir}/robots/panda/panda.urdf",

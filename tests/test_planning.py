@@ -65,6 +65,17 @@ class TestGTORobotModel:
         pts = robot.fk_surface_points(Q)
         assert pts.shape == (4, 3, robot.num_surface_points, 3)
 
+    def test_soa_surface_points_match_aos(self, panda):
+        robot, _ = panda
+        rng = np.random.default_rng(5)
+        Q = jnp.asarray(rng.uniform(-0.5, 0.5, size=(2, 3, robot.ndof)), jnp.float64)
+        base = jnp.asarray([0.1, -0.2, 0.05], jnp.float64)
+        pts = np.asarray(robot.fk_surface_points(Q, base_position=base))
+        x, y, z = robot.surface_points_soa(robot.fk_components(Q), base)
+        np.testing.assert_allclose(np.asarray(x), pts[..., 0], atol=1e-10)
+        np.testing.assert_allclose(np.asarray(y), pts[..., 1], atol=1e-10)
+        np.testing.assert_allclose(np.asarray(z), pts[..., 2], atol=1e-10)
+
 
 class TestIKSolver:
     def test_reference_main_scenario(self, panda):
