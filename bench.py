@@ -32,6 +32,8 @@ def main():
     points_per_link = int(os.environ.get("BENCH_PPL", "100"))
     reps = int(os.environ.get("BENCH_REPS", "2"))
     robot_name = os.environ.get("BENCH_ROBOT", "panda")
+    obstacle_mode = os.environ.get("BENCH_MODE", "field")  # field | points
+    scene_capacity = int(os.environ.get("BENCH_SCENE_PTS", "2048"))
     data_dir = os.environ.get("GTO_DATA_DIR", "/root/reference/data")
 
     import jax
@@ -93,7 +95,9 @@ def main():
         qc = SYNTH_DEFAULT_POSE.astype(np.float32)
         RT = make_synthetic_goal(0).astype(np.float32)
 
-    planner = GTOPlanner(robot, link_ee, link_gripper, iterations=iterations)
+    planner = GTOPlanner(
+        robot, link_ee, link_gripper, iterations=iterations, obstacle_mode=obstacle_mode
+    )
     _, solve_batch = planner.setup_optimization(
         goal_size=goal_capacity, use_standoff=True, axis_standoff=axis_standoff
     )
@@ -124,9 +128,29 @@ def main():
         "tf_goal": jnp.asarray(tf_goal),
         "goal_mask": jnp.asarray(goal_mask),
         "base_position": jnp.zeros((batch, 3), jnp.float32),
-        "sdf_cost_all": jnp.asarray(fields),
-        "sdf_cost_obstacle": jnp.asarray(fields),
     }
+    if obstacle_mode == "points":
+        # synthetic tabletop as a surface point set (upward normals)
+        from grasptrajopt_tpu.fields.scene_points import downsample_scene
+
+        xs, ys = np.meshgrid(np.arange(0.2, 0.9, 0.01), np.arange(-0.5, 0.5, 0.01))
+        table_pts = np.stack([xs.ravel(), ys.ravel(), np.full(xs.size, 0.12)], axis=1)
+        table_nrm = np.tile([0.0, 0.0, 1.0], (table_pts.shape[0], 1))
+        scene = downsample_scene(table_pts, table_nrm, capacity=scene_capacity, resolution=0.02)
+        target = downsample_scene(
+            table_pts[:64] + [0, 0, 0.05], table_nrm[:64], capacity=256, resolution=0.02
+        )
+        params.update(
+            {
+                "scene_points": jnp.tile(jnp.asarray(scene.points, jnp.float32), (batch, 1, 1)),
+                "scene_normals": jnp.tile(jnp.asarray(scene.normals, jnp.float32), (batch, 1, 1)),
+                "target_points": jnp.tile(jnp.asarray(target.points, jnp.float32), (batch, 1, 1)),
+                "target_normals": jnp.tile(jnp.asarray(target.normals, jnp.float32), (batch, 1, 1)),
+            }
+        )
+    else:
+        params["sdf_cost_all"] = jnp.asarray(fields)
+        params["sdf_cost_obstacle"] = jnp.asarray(fields)
     qc_opt = jnp.asarray(qc_opt)
     X0 = jnp.asarray(X0)
 
@@ -157,6 +181,7 @@ def main():
             {
                 "detail": {
                     "robot": robot.name,
+                    "obstacle_mode": obstacle_mode,
                     "batch": batch,
                     "goal_capacity": goal_capacity,
                     "iterations": iterations,

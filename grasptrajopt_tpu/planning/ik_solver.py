@@ -75,15 +75,11 @@ class IKSolver:
         grip_frame = robot.frame_of(self.link_gripper)
         gpts = self.gripper_points
 
-        def fk_pair(q_full):
-            frames = robot.fk_all(q_full)
-            T_ee = frames[ee_frame]
-            T_grip = frames[grip_frame]
-            return T_ee, T_grip
-
         def residual(q_opt, params):
             q_full = robot.assemble_q(q_opt, params["q_param"])
-            T_ee, T_grip = fk_pair(q_full)
+            comps = robot.fk_components(q_full)
+            T_ee = robot.frame_matrix(comps, ee_frame)
+            T_grip = robot.frame_matrix(comps, grip_frame)
             # gripper frame relative to ee frame (constant for fixed wrists,
             # but kept exact: gto/ik_solver.py:26)
             gripper_tf = invt(T_ee) @ T_grip
@@ -116,10 +112,20 @@ class IKSolver:
 
             def value_fn(q_opt, params):
                 q_full = robot.assemble_q(q_opt, params["q_param"])
-                pts = robot.fk_surface_points(q_full, base_position=params["base_position"])
+                x, y, z = robot.surface_points_soa(
+                    robot.fk_components(q_full), params["base_position"]
+                )
                 if self.interp == "trilinear" and "packed_obstacle" in params:
-                    vals = g.lookup_packed(params["packed_obstacle"], pts)
+                    from grasptrajopt_tpu.ops.interp import (
+                        field_lookup_trilinear_packed_soa,
+                    )
+
+                    vals = field_lookup_trilinear_packed_soa(
+                        params["packed_obstacle"], x, y, z,
+                        jnp.asarray(g.origin, dtype), g.shape, g.resolution,
+                    )
                 else:
+                    pts = jnp.stack([x, y, z], axis=-1)
                     vals = g.lookup(params["sdf_cost_obstacle"], pts, self.interp)
                 return 10.0 * jnp.sum(vals)
 
