@@ -235,8 +235,84 @@ def geometry_mesh(geom, model_dir: str = "") -> Optional[TriangleMesh]:
     return None
 
 
+def load_dae(path: str) -> TriangleMesh:
+    """Minimal COLLADA (.dae) triangle loader: concatenates every
+    <triangles>/<polylist> primitive in library_geometries using the
+    position source; materials, normals, and scene-node transforms are
+    ignored (adequate for single-link visual meshes, the only DAE use in
+    the supported robot assets — nextage, r2d2, fetch extras)."""
+    import xml.etree.ElementTree as ET
+
+    ns = {"c": "http://www.collada.org/2005/11/COLLADASchema"}
+    root = ET.parse(path).getroot()
+
+    all_vertices = []
+    all_faces = []
+    offset = 0
+    for geom in root.findall(".//c:library_geometries/c:geometry", ns):
+        mesh = geom.find("c:mesh", ns)
+        if mesh is None:
+            continue
+        # map source id -> float array
+        sources = {}
+        for src in mesh.findall("c:source", ns):
+            arr = src.find("c:float_array", ns)
+            if arr is not None and arr.text:
+                sources["#" + src.get("id")] = np.fromstring(arr.text, sep=" ")
+        # vertices element: position input
+        vert_elem = mesh.find("c:vertices", ns)
+        if vert_elem is None:
+            continue
+        pos_source = None
+        for inp in vert_elem.findall("c:input", ns):
+            if inp.get("semantic") == "POSITION":
+                pos_source = inp.get("source")
+        if pos_source is None or pos_source not in sources:
+            continue
+        verts = sources[pos_source].reshape(-1, 3)
+        vert_id = "#" + vert_elem.get("id")
+
+        for prim in list(mesh.findall("c:triangles", ns)) + list(mesh.findall("c:polylist", ns)):
+            inputs = prim.findall("c:input", ns)
+            stride = max(int(i.get("offset", 0)) for i in inputs) + 1 if inputs else 1
+            v_off = 0
+            for i in inputs:
+                if i.get("semantic") == "VERTEX" and i.get("source") == vert_id:
+                    v_off = int(i.get("offset", 0))
+            p = prim.find("c:p", ns)
+            if p is None or not p.text:
+                continue
+            idx = np.fromstring(p.text, sep=" ", dtype=np.int64)
+            vcounts_elem = prim.find("c:vcount", ns)
+            if vcounts_elem is not None and vcounts_elem.text:
+                # polylist: fan-triangulate each polygon
+                vcounts = np.fromstring(vcounts_elem.text, sep=" ", dtype=np.int64)
+                pos = 0
+                for n in vcounts:
+                    poly = idx[pos + v_off : pos + n * stride : stride]
+                    for k in range(1, n - 1):
+                        all_faces.append(
+                            [offset + poly[0], offset + poly[k], offset + poly[k + 1]]
+                        )
+                    pos += n * stride
+            else:
+                tri = idx[v_off::stride].reshape(-1, 3)
+                all_faces.extend((tri + offset).tolist())
+        all_vertices.append(verts)
+        offset += verts.shape[0]
+
+    if not all_vertices:
+        raise ValueError(f"no geometry found in DAE file {path}")
+    return TriangleMesh(
+        vertices=np.concatenate(all_vertices),
+        faces=np.asarray(all_faces, dtype=np.int32).reshape(-1, 3),
+    )
+
+
 def load_mesh(path: str, prefer_native: bool = True) -> TriangleMesh:
     ext = os.path.splitext(path)[1].lower()
+    if ext == ".dae":
+        return load_dae(path)
     if ext not in (".obj", ".stl"):
         raise ValueError(f"unsupported mesh format '{ext}' ({path})")
     if prefer_native:

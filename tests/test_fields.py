@@ -145,6 +145,18 @@ class TestMeshIO:
         stl = load_mesh(f"{data_dir}/robots/fetch/meshes/l_wheel_link.STL")
         assert stl.faces.shape[0] == 2086  # verified via the binary header
 
+    def test_dae_loader(self, data_dir):
+        dae = load_mesh(f"{data_dir}/robots/fetch/meshes/elbow_flex_link.dae")
+        assert dae.vertices.shape[0] > 100
+        assert dae.faces.shape[0] > 100
+        assert dae.faces.max() < dae.vertices.shape[0]
+        # plausibly arm-link sized (meters)
+        extent = dae.vertices.max(axis=0) - dae.vertices.min(axis=0)
+        assert 0.02 < extent.max() < 1.0
+        # sampling works on DAE geometry
+        pts, normals = dae.sample_surface(200, seed=0)
+        assert pts.shape == (200, 3)
+
 
 class TestSurfacePointCloud:
     def test_sphere_sdf_signs_and_values(self):
