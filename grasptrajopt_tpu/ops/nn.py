@@ -91,7 +91,10 @@ def _min_d2_impl(points, ref, use_pallas: Optional[bool] = None):
     lead = points.shape[:-1]
     flat = points.reshape(-1, 3)
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # TPU-family backends (incl. tunneled platforms) lower Pallas TPU
+        # kernels; everything else uses the dense XLA fallback
+        backend = jax.default_backend()
+        use_pallas = backend in ("tpu", "axon")
     if use_pallas:
         d2, idx = min_sqdist_pallas(flat, ref)
     else:
