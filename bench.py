@@ -33,6 +33,7 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "2"))
     robot_name = os.environ.get("BENCH_ROBOT", "panda")
     obstacle_mode = os.environ.get("BENCH_MODE", "field")  # field | points
+    shared_scene = os.environ.get("BENCH_SHARED", "0") == "1"
     scene_capacity = int(os.environ.get("BENCH_SCENE_PTS", "2048"))
     data_dir = os.environ.get("GTO_DATA_DIR", "/root/reference/data")
 
@@ -98,7 +99,7 @@ def main():
     planner = GTOPlanner(
         robot, link_ee, link_gripper, iterations=iterations, obstacle_mode=obstacle_mode
     )
-    _, solve_batch = planner.setup_optimization(
+    _, solve_batch, solve_batch_shared = planner.setup_optimization(
         goal_size=goal_capacity, use_standoff=True, axis_standoff=axis_standoff
     )
 
@@ -129,6 +130,7 @@ def main():
         "goal_mask": jnp.asarray(goal_mask),
         "base_position": jnp.zeros((batch, 3), jnp.float32),
     }
+    scene_params = {}
     if obstacle_mode == "points":
         # synthetic tabletop as a surface point set (upward normals)
         from grasptrajopt_tpu.fields.scene_points import downsample_scene
@@ -140,30 +142,39 @@ def main():
         target = downsample_scene(
             table_pts[:64] + [0, 0, 0.05], table_nrm[:64], capacity=256, resolution=0.02
         )
-        params.update(
-            {
-                "scene_points": jnp.tile(jnp.asarray(scene.points, jnp.float32), (batch, 1, 1)),
-                "scene_normals": jnp.tile(jnp.asarray(scene.normals, jnp.float32), (batch, 1, 1)),
-                "target_points": jnp.tile(jnp.asarray(target.points, jnp.float32), (batch, 1, 1)),
-                "target_normals": jnp.tile(jnp.asarray(target.normals, jnp.float32), (batch, 1, 1)),
-            }
-        )
+        scene_params = {
+            "scene_points": jnp.asarray(scene.points, jnp.float32),
+            "scene_normals": jnp.asarray(scene.normals, jnp.float32),
+            "target_points": jnp.asarray(target.points, jnp.float32),
+            "target_normals": jnp.asarray(target.normals, jnp.float32),
+        }
     else:
-        params["sdf_cost_all"] = jnp.asarray(fields)
-        params["sdf_cost_obstacle"] = jnp.asarray(fields)
+        scene_params = {
+            "sdf_cost_all": jnp.asarray(field),
+            "sdf_cost_obstacle": jnp.asarray(field),
+        }
+    if not shared_scene:
+        params.update(
+            {k: jnp.broadcast_to(v, (batch,) + v.shape) for k, v in scene_params.items()}
+        )
     qc_opt = jnp.asarray(qc_opt)
     X0 = jnp.asarray(X0)
 
+    def step():
+        if shared_scene:
+            return solve_batch_shared(qc_opt, X0, params, scene_params)
+        return solve_batch(qc_opt, X0, params)
+
     # Warmup / compile
     t0 = time.time()
-    Q, cost, _ = solve_batch(qc_opt, X0, params)
+    Q, cost, _ = step()
     Q.block_until_ready()
     compile_s = time.time() - t0
 
     times = []
     for _ in range(reps):
         t0 = time.time()
-        Q, cost, _ = solve_batch(qc_opt, X0, params)
+        Q, cost, _ = step()
         Q.block_until_ready()
         times.append(time.time() - t0)
     best = min(times)
@@ -182,6 +193,7 @@ def main():
                 "detail": {
                     "robot": robot.name,
                     "obstacle_mode": obstacle_mode,
+                    "shared_scene": shared_scene,
                     "batch": batch,
                     "goal_capacity": goal_capacity,
                     "iterations": iterations,

@@ -233,7 +233,17 @@ class GTOPlanner:
 
         solve_one = jax.jit(run)
         solve_batch = jax.jit(jax.vmap(run))
-        self._solvers[key] = (solve_one, solve_batch)
+
+        def run_shared(qc_opt, X0, params_per, params_shared):
+            """Batch variant with scene data SHARED across the batch
+            (realistic deployment: many grasp sets per scene). The obstacle
+            field / scene point set stays unbatched, so a single packed
+            table serves every problem — far friendlier to on-chip caching
+            than per-problem 4.6 MB gather tables."""
+            return run(qc_opt, X0, {**params_per, **params_shared})
+
+        solve_batch_shared = jax.jit(jax.vmap(run_shared, in_axes=(0, 0, 0, None)))
+        self._solvers[key] = (solve_one, solve_batch, solve_batch_shared)
         return self._solvers[key]
 
     # -- warm starts ----------------------------------------------------------
@@ -346,7 +356,7 @@ class GTOPlanner:
         goal_mask = np.zeros(cap, dtype=bool)
         goal_mask[:n] = True
 
-        solve_one, _ = self.setup_optimization(cap, use_standoff, axis_standoff)
+        solve_one, _, _ = self.setup_optimization(cap, use_standoff, axis_standoff)
 
         # Warm start (gto_planner.py:193-219)
         if q_solutions is None:
@@ -415,7 +425,7 @@ class GTOPlanner:
         """
         robot = self.robot
         cap = tf_goal.shape[1]
-        _, solve_batch = self.setup_optimization(cap, use_standoff, axis_standoff)
+        _, solve_batch, _ = self.setup_optimization(cap, use_standoff, axis_standoff)
 
         ext_p = jax.vmap(lambda qq: robot.extract_parameter_dimensions(qq[:, None])[:, 0])
         ext_o = jax.vmap(lambda qq: robot.extract_optimized_dimensions(qq[:, None])[:, 0])
