@@ -54,6 +54,15 @@ def sdf_cost_shaping(distances, epsilon: float = 0.02, w_inside: float = 1.0):
     return jnp.where(inside, cost_inside, jnp.where(band, cost_band, 0.0))
 
 
+def sdf_cost_shaping_deriv(distances, epsilon: float = 0.02, w_inside: float = 1.0):
+    """d(sdf_cost_shaping)/d(distance) — for analytic Jacobian chains."""
+    inside = distances <= 0.0
+    band = jnp.logical_and(distances > 0.0, distances < epsilon)
+    d_inside = jnp.full_like(distances, -w_inside)
+    d_band = (distances - epsilon) / epsilon
+    return jnp.where(inside, d_inside, jnp.where(band, d_band, 0.0))
+
+
 class DepthPointCloud:
     """Scene point cloud from a depth image, with SDF(-cost) queries.
 

@@ -159,6 +159,22 @@ def signed_distance_to_set(points, ref, normals):
     return sign * jnp.sqrt(jnp.maximum(d2, 1e-18))
 
 
+def signed_distance_with_dir(points, ref, normals):
+    """(sd, d(sd)/dp) in one evaluation — the chain-rule building block for
+    whole-trajectory obstacle terms: one kernel launch yields both the
+    signed distances and their exact spatial gradients
+    (sign * (p - s*) / |p - s*|), which callers contract with their own
+    point Jacobians instead of differentiating through the kernel."""
+    d2, idx = _min_d2_impl(points, ref)
+    ref = jnp.asarray(ref)
+    normals = jnp.asarray(normals)
+    diff = points - ref[idx]
+    sign = jnp.where(jnp.sum(diff * normals[idx], axis=-1) >= 0.0, 1.0, -1.0)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-18))
+    sd = sign * d
+    return sd, diff / sd[..., None]
+
+
 @signed_distance_to_set.defjvp
 def _signed_distance_jvp(primals, tangents):
     points, ref, normals = primals

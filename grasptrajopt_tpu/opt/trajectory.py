@@ -69,6 +69,7 @@ def make_trajectory_solver(
     step_residual_fn: Callable,
     config: TrajectoryConfig,
     pre_iteration: Optional[Callable] = None,
+    traj_term: Optional[Tuple[Callable, Callable]] = None,
 ):
     """Build `solve(qc_opt, X0, lo, hi, params) -> (Q_opt, cost, aux)`.
 
@@ -77,6 +78,16 @@ def make_trajectory_solver(
     switch with jnp.where over t, keeping one shape for all steps.
     pre_iteration(Q_opt, params) -> step_aux: per-iteration auxiliary state
     (e.g. active-goal index), frozen during the step.
+
+    traj_term — an optional WHOLE-TRAJECTORY residual term
+    (value_fn, value_jac_fn) evaluated outside the per-step vmap:
+      value_fn(Q, step_aux, params) -> (T, R2)
+      value_jac_fn(Q, step_aux, params) -> ((T, R2), (T, R2, n))
+    where the Jacobian at step t is w.r.t. q_t only (the per-step coupling
+    assumption that keeps the GN Hessian block-tridiagonal). Use this for
+    terms whose inner kernel (e.g. the Pallas min-distance obstacle term)
+    must see the whole (T*P) batch in ONE launch instead of T launches
+    under vmap — launch-count, not FLOPs, dominates such terms.
 
     Returns the full optimized-joint trajectory (T, n) including the pinned
     prefix, the final cost, and diagnostics.
@@ -111,7 +122,11 @@ def make_trajectory_solver(
         """One full residual pass: total cost only."""
         Q = assemble(X, qc_opt)
         r = jax.vmap(lambda q, t: step_residual_fn(q, t, step_aux, params))(Q, t_all)
-        return jnp.sum(r * r) + smooth_cost(Q)
+        c = jnp.sum(r * r) + smooth_cost(Q)
+        if traj_term is not None:
+            r2 = traj_term[0](Q, step_aux, params)
+            c = c + jnp.sum(r2 * r2)
+        return c
 
     def solve(qc_opt, X0, lo, hi, params):
         n = qc_opt.shape[0]
@@ -150,6 +165,14 @@ def make_trajectory_solver(
             r_free = r_all[nf:]  # (F, R)
             H_blocks = jnp.einsum("fir,fjr->fij", Jt, Jt)  # (F, n, n)
             g = jnp.einsum("fir,fr->fi", Jt, r_free) + smooth_grad_X(Q)
+
+            if traj_term is not None:
+                r2, J2 = traj_term[1](Q, step_aux, params)  # (T,R2), (T,R2,n)
+                c_now = c_now + jnp.sum(r2 * r2)
+                J2f = J2[nf:]
+                r2f = r2[nf:]
+                H_blocks = H_blocks + jnp.einsum("fri,frj->fij", J2f, J2f)
+                g = g + jnp.einsum("fri,fr->fi", J2f, r2f)
 
             scale = jnp.maximum(
                 jax.vmap(jnp.diag)(H_blocks) + vel_diag[:, None], config.jitter

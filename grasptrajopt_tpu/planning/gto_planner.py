@@ -124,22 +124,67 @@ class GTOPlanner:
             frames = robot.fk_all(q_full)
             return goal_diffs_from(frames[ee_frame], frames[grip_frame], tf_goal_one)
 
-        def obstacle_values_points(pts, t, params):
-            """Direct mode: eps-band cost from exact signed distances to the
-            obstacle set, plus the target set during the standoff phase
-            (the two-field semantics of gto_planner.py:117-131)."""
-            from grasptrajopt_tpu.fields.depth_point_cloud import sdf_cost_shaping
-            from grasptrajopt_tpu.ops.nn import signed_distance_to_set
+        P_total = robot.num_surface_points
+        phase_col = (jnp.arange(T) < t_standoff)[:, None]  # (T, 1) standoff?
 
-            sd_obs = signed_distance_to_set(
+        def _obstacle_sd_dir(Q_opt, params):
+            """Whole-trajectory signed distances + spatial gradients in ONE
+            kernel launch per point set (the launch-count fix: under the
+            per-step vmap this was T x B separate Pallas invocations).
+
+            Phase semantics of gto_planner.py:117-131: during the standoff
+            phase (t < T-10) the target's surface counts as obstacle too
+            (union of both sets); the final approach ignores the target.
+            """
+            from grasptrajopt_tpu.ops.nn import signed_distance_with_dir
+
+            q_param_b = jnp.broadcast_to(params["q_param"], (T,) + params["q_param"].shape)
+            Qf = jax.vmap(robot.assemble_q)(Q_opt, q_param_b)
+            comps = robot.fk_components(Qf)
+            x, y, z = robot.surface_points_soa(comps, params["base_position"])
+            pts = jnp.stack([x, y, z], axis=-1).reshape(T * P_total, 3)
+            sd_o, dir_o = signed_distance_with_dir(
                 pts, params["scene_points"], params["scene_normals"]
             )
-            sd_tgt = signed_distance_to_set(
+            sd_t, dir_t = signed_distance_with_dir(
                 pts, params["target_points"], params["target_normals"]
             )
-            sd_union = jnp.where(jnp.abs(sd_tgt) < jnp.abs(sd_obs), sd_tgt, sd_obs)
-            sd = jnp.where(t < t_standoff, sd_union, sd_obs)
-            return sdf_cost_shaping(sd, epsilon=self.sdf_epsilon)
+            sd_o = sd_o.reshape(T, P_total)
+            sd_t = sd_t.reshape(T, P_total)
+            dir_o = dir_o.reshape(T, P_total, 3)
+            dir_t = dir_t.reshape(T, P_total, 3)
+            take_t = jnp.logical_and(phase_col, jnp.abs(sd_t) < jnp.abs(sd_o))
+            sd = jnp.where(take_t, sd_t, sd_o)
+            dirs = jnp.where(take_t[..., None], dir_t, dir_o)
+            return sd, dirs
+
+        def obstacle_term_value(Q_opt, step_aux, params):
+            from grasptrajopt_tpu.fields.depth_point_cloud import sdf_cost_shaping
+
+            sd, _ = _obstacle_sd_dir(Q_opt, params)
+            return sqrt10 * sdf_cost_shaping(sd, epsilon=self.sdf_epsilon)
+
+        def obstacle_term_value_jac(Q_opt, step_aux, params):
+            from grasptrajopt_tpu.fields.depth_point_cloud import (
+                sdf_cost_shaping,
+                sdf_cost_shaping_deriv,
+            )
+
+            sd, dirs = _obstacle_sd_dir(Q_opt, params)
+            r = sqrt10 * sdf_cost_shaping(sd, epsilon=self.sdf_epsilon)
+            drdsd = sqrt10 * sdf_cost_shaping_deriv(sd, epsilon=self.sdf_epsilon)
+
+            # per-step point Jacobians via component FK — no kernel inside
+            def pts_of(q_opt):
+                q_full = robot.assemble_q(q_opt, params["q_param"])
+                x, y, z = robot.surface_points_soa(
+                    robot.fk_components(q_full), params["base_position"]
+                )
+                return jnp.stack([x, y, z], axis=-1)  # (P, 3)
+
+            J_pts = jax.vmap(jax.jacfwd(pts_of))(Q_opt)  # (T, P, 3, n)
+            J = jnp.einsum("tp,tpc,tpcn->tpn", drdsd, dirs, J_pts)
+            return r, J
 
         def step_residual(q_opt, t, goal_idx, params):
             # component-form FK once per step: layout-clean scalars feed the
@@ -147,11 +192,7 @@ class GTOPlanner:
             q_full = robot.assemble_q(q_opt, params["q_param"])
             comps = robot.fk_components(q_full)
             parts = []
-            if self.collision_avoidance and self.obstacle_mode == "points":
-                x, y, z = robot.surface_points_soa(comps, params["base_position"])
-                pts = jnp.stack([x, y, z], axis=-1)
-                parts.append(sqrt10 * obstacle_values_points(pts, t, params))
-            elif self.collision_avoidance:
+            if self.collision_avoidance and self.obstacle_mode == "field":
                 x, y, z = robot.surface_points_soa(comps, params["base_position"])
                 # standoff phase (t < T-10) uses the full field; the final
                 # approach uses the target-free field (gto_planner.py:117-131)
@@ -213,7 +254,12 @@ class GTOPlanner:
             smooth_weight=0.01 / self.dt**2,
             iterations=self.iterations,
         )
-        solver = make_trajectory_solver(step_residual, cfg, pre_iteration=pre_iteration)
+        traj_term = None
+        if self.collision_avoidance and self.obstacle_mode == "points":
+            traj_term = (obstacle_term_value, obstacle_term_value_jac)
+        solver = make_trajectory_solver(
+            step_residual, cfg, pre_iteration=pre_iteration, traj_term=traj_term
+        )
 
         lo = jnp.asarray(robot.lower_optimized_joint_limits, dtype)
         hi = jnp.asarray(robot.upper_optimized_joint_limits, dtype)
