@@ -15,8 +15,19 @@ from grasptrajopt_tpu.fields.surface_point_cloud import (
     mesh_to_voxels,
     sample_sdf_near_surface,
 )
+from grasptrajopt_tpu.fields.scene_points import (
+    ScenePointSet,
+    downsample_scene,
+    scene_point_sets_from_depth,
+)
+from grasptrajopt_tpu.fields.sdf_program import make_sdf_program, sdf_value_jac_hess
 
 __all__ = [
+    "ScenePointSet",
+    "downsample_scene",
+    "scene_point_sets_from_depth",
+    "make_sdf_program",
+    "sdf_value_jac_hess",
     "VoxelGrid",
     "OccupancyGrid2D",
     "DepthPointCloud",
