@@ -146,30 +146,25 @@ def signed_distance_to_set(points, ref, normals):
 
     sign = sign((p - s*) . n*) over the nearest point s* — the reference's
     'normal' sign determination with k=1
-    (mesh_to_sdf/surface_point_cloud.py:32-64). Forward derivative is the
-    exact piecewise gradient sign * (p - s*) / |p - s*| via custom_jvp, so
-    solver jacfwd passes cost one kernel launch plus two small-table
-    gathers — no voxel-field gathers at all.
+    (mesh_to_sdf/surface_point_cloud.py:32-64). On TPU the nearest point
+    AND normal come out of the one-hot kernel directly (no `ref[idx]`
+    gathers — profiled as ~100x slower than the distance matmul itself);
+    the forward derivative is the exact piecewise gradient
+    sign * (p - s*) / |p - s*| via custom_jvp.
     """
-    d2, idx = _min_d2_impl(points, ref)
-    ref = jnp.asarray(ref)
-    normals = jnp.asarray(normals)
-    diff = points - ref[idx]
-    sign = jnp.where(jnp.sum(diff * normals[idx], axis=-1) >= 0.0, 1.0, -1.0)
-    return sign * jnp.sqrt(jnp.maximum(d2, 1e-18))
+    sd, _ = signed_distance_with_dir(points, ref, normals)
+    return sd
 
 
 def signed_distance_with_dir(points, ref, normals):
     """(sd, d(sd)/dp) in one evaluation — the chain-rule building block for
     whole-trajectory obstacle terms: one kernel launch yields both the
-    signed distances and their exact spatial gradients
-    (sign * (p - s*) / |p - s*|), which callers contract with their own
-    point Jacobians instead of differentiating through the kernel."""
-    d2, idx = _min_d2_impl(points, ref)
-    ref = jnp.asarray(ref)
-    normals = jnp.asarray(normals)
-    diff = points - ref[idx]
-    sign = jnp.where(jnp.sum(diff * normals[idx], axis=-1) >= 0.0, 1.0, -1.0)
+    signed distances and their exact spatial gradients, which callers
+    contract with their own point Jacobians instead of differentiating
+    through the kernel."""
+    d2, nearest, n_star = _nearest_impl(points, ref, normals)
+    diff = points - nearest
+    sign = jnp.where(jnp.sum(diff * n_star, axis=-1) >= 0.0, 1.0, -1.0)
     d = jnp.sqrt(jnp.maximum(d2, 1e-18))
     sd = sign * d
     return sd, diff / sd[..., None]
@@ -179,16 +174,115 @@ def signed_distance_with_dir(points, ref, normals):
 def _signed_distance_jvp(primals, tangents):
     points, ref, normals = primals
     pdot = tangents[0]
-    d2, idx = _min_d2_impl(points, ref)
-    ref = jnp.asarray(ref)
-    normals = jnp.asarray(normals)
-    diff = points - ref[idx]
-    sign = jnp.where(jnp.sum(diff * normals[idx], axis=-1) >= 0.0, 1.0, -1.0)
-    d = jnp.sqrt(jnp.maximum(d2, 1e-18))
-    sd = sign * d
-    # d(sd)/dp = sign * (p - s*) / d  = diff / (sign * d)  (sign^2 = 1)
-    tan = jnp.sum(diff * pdot, axis=-1) / sd
-    return sd, tan
+    sd, dirs = signed_distance_with_dir(points, ref, normals)
+    return sd, jnp.sum(dirs * pdot, axis=-1)
+
+
+def _nearest_kernel(q_ref, r_ref, rsq_ref, n_ref, d2_ref, pt_ref, nm_ref):
+    """Tiled nearest-point kernel that returns the nearest REFERENCE POINT
+    and NORMAL as values (not indices): per tile, a one-hot mask of the
+    row minima matmuls against the VMEM-resident ref/normal tables, so no
+    caller-side `ref[idx]` gather ever happens (profiled as the dominant
+    cost — scattered row gathers run ~100x below HBM speed on TPU)."""
+    j = pl.program_id(1)
+
+    q = q_ref[:, :]  # (TM, 4)
+    r = r_ref[:, :]  # (TN, 4)
+    nrm = n_ref[:, :]  # (TN, 4)
+    cross = jax.lax.dot_general(
+        q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    qsq = jnp.sum(q * q, axis=1, keepdims=True)
+    d2 = qsq + rsq_ref[:, :] - 2.0 * cross  # (TM, TN)
+
+    tile_min = jnp.min(d2, axis=1)  # (TM,)
+    onehot = (d2 <= tile_min[:, None]).astype(jnp.float32)
+    cnt = jnp.maximum(jnp.sum(onehot, axis=1, keepdims=True), 1.0)
+    tile_pt = (
+        jax.lax.dot_general(onehot, r, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        / cnt
+    )
+    tile_nm = (
+        jax.lax.dot_general(onehot, nrm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        / cnt
+    )
+
+    @pl.when(j == 0)
+    def _():
+        d2_ref[:, 0] = tile_min
+        pt_ref[:, :] = tile_pt
+        nm_ref[:, :] = tile_nm
+
+    @pl.when(j > 0)
+    def _():
+        prev = d2_ref[:, 0]
+        better = tile_min < prev
+        d2_ref[:, 0] = jnp.where(better, tile_min, prev)
+        pt_ref[:, :] = jnp.where(better[:, None], tile_pt, pt_ref[:, :])
+        nm_ref[:, :] = jnp.where(better[:, None], tile_nm, nm_ref[:, :])
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn"))
+def nearest_point_normal_pallas(query, ref, normals, tm: int = 1024, tn: int = 2048):
+    """(d2, nearest_point, nearest_normal) for (M, 3) queries against a
+    padded (K, 3) ref set with per-point normals, via the one-hot kernel."""
+    query = jnp.asarray(query, jnp.float32)
+    ref = jnp.asarray(ref, jnp.float32)
+    normals = jnp.asarray(normals, jnp.float32)
+    M, N = query.shape[0], ref.shape[0]
+    Mp = -(-M // tm) * tm
+    Np = -(-N // tn) * tn
+
+    q4 = jnp.zeros((Mp, 4), jnp.float32).at[:M, :3].set(query)
+    r4 = jnp.zeros((Np, 4), jnp.float32).at[:N, :3].set(ref)
+    n4 = jnp.zeros((Np, 4), jnp.float32).at[:N, :3].set(normals)
+    rsq = jnp.sum(r4 * r4, axis=1)
+    big = jnp.float32(3.0e38)
+    rsq = rsq.at[N:].set(big)
+    rsq = rsq.reshape(1, Np)
+
+    d2, pt, nm = pl.pallas_call(
+        _nearest_kernel,
+        grid=(Mp // tm, Np // tn),
+        in_specs=[
+            pl.BlockSpec((tm, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, 4), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, 4), jnp.float32),
+        ],
+    )(q4, r4, rsq, n4)
+    return jnp.maximum(d2[:M, 0], 0.0), pt[:M, :3], nm[:M, :3]
+
+
+def _nearest_impl(points, ref, normals, use_pallas: Optional[bool] = None):
+    """(d2, nearest point, nearest normal) with backend dispatch; leading
+    query dims are flattened around the kernel."""
+    points = jnp.asarray(points)
+    lead = points.shape[:-1]
+    flat = points.reshape(-1, 3)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if use_pallas:
+        d2, pt, nm = nearest_point_normal_pallas(flat, ref, normals)
+    else:
+        d2, idx = _min_d2_impl(flat, ref, use_pallas=False)
+        pt = jnp.asarray(ref)[idx]
+        nm = jnp.asarray(normals)[idx]
+    return (
+        d2.reshape(lead),
+        pt.reshape(lead + (3,)),
+        nm.reshape(lead + (3,)),
+    )
 
 
 def _min_kernel(q_ref, r_ref, rsq_ref, out_ref, arg_ref):
