@@ -33,7 +33,11 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "2"))
     robot_name = os.environ.get("BENCH_ROBOT", "panda")
     obstacle_mode = os.environ.get("BENCH_MODE", "field")  # field | points
-    shared_scene = os.environ.get("BENCH_SHARED", "0") == "1"
+    # default: the scene (cost fields / point sets) is shared across the
+    # batch — the reference's own deployment shape (one observed scene,
+    # many objects/goal-sets/seeds, pybullet_gto_planning.py:151-164);
+    # BENCH_SHARED=0 gives every problem its own scene
+    shared_scene = os.environ.get("BENCH_SHARED", "1") == "1"
     scene_capacity = int(os.environ.get("BENCH_SCENE_PTS", "2048"))
     data_dir = os.environ.get("GTO_DATA_DIR", "/root/reference/data")
 

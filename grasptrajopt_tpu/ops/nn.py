@@ -225,11 +225,16 @@ def _nearest_kernel(q_ref, r_ref, rsq_ref, n_ref, d2_ref, pt_ref, nm_ref):
 @functools.partial(jax.jit, static_argnames=("tm", "tn"))
 def nearest_point_normal_pallas(query, ref, normals, tm: int = 1024, tn: int = 2048):
     """(d2, nearest_point, nearest_normal) for (M, 3) queries against a
-    padded (K, 3) ref set with per-point normals, via the one-hot kernel."""
+    padded (K, 3) ref set with per-point normals, via the one-hot kernel.
+
+    The K tile shrinks to fit small reference sets (the kernel's cost is
+    VMEM traffic for the (tm, tn) distance tile, so tn should never exceed
+    the padded reference count)."""
     query = jnp.asarray(query, jnp.float32)
     ref = jnp.asarray(ref, jnp.float32)
     normals = jnp.asarray(normals, jnp.float32)
     M, N = query.shape[0], ref.shape[0]
+    tn = min(tn, max(512, -(-N // 512) * 512))
     Mp = -(-M // tm) * tm
     Np = -(-N // tn) * tn
 
