@@ -205,7 +205,7 @@ def main():
                     RT_ik = RT_grasps_base
                 q0 = np.array(env.robot.q())
                 q_sols, err_pos, err_rot, col_cost = ik_solver.solve_ik_batch(
-                    q0, RT_ik, sdf_cost_obstacle, env.base_position
+                    q0, RT_ik, sdf_cost_obstacle, env.base_position, multistart=True
                 )
                 found = (err_pos < 0.01) & (err_rot < 5) & (col_cost < knobs["ik_collision_threshold"])
                 ik_time = time.time() - start

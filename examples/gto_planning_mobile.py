@@ -215,7 +215,7 @@ def main():
                 )
                 q0 = np.array(env.robot.q())
                 q_sols, err_pos, err_rot, col_cost = ik_solver.solve_ik_batch(
-                    q0, RT_ik, sdf_cost_obstacle, [0, 0, 0]
+                    q0, RT_ik, sdf_cost_obstacle, [0, 0, 0], multistart=True
                 )
                 found = (err_pos < 0.01) & (err_rot < 5) & (col_cost < knobs["ik_collision_threshold"])
                 ik_time = time.time() - start

@@ -132,7 +132,7 @@ class GraspPipeline:
                 self.standoff_distance, self.axis_standoff
             )
         q_sols, err_pos, err_rot, col = self.ik_solver.solve_ik_batch(
-            q0, RT_ik, sdf_cost_obstacle, base_position
+            q0, RT_ik, sdf_cost_obstacle, base_position, multistart=True
         )
         found = (err_pos < 0.01) & (err_rot < 5.0) & (col < self.ik_collision_threshold)
         return q_sols, found

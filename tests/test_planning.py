@@ -203,6 +203,73 @@ class TestGTOPlanner:
         assert err < 0.02, f"picked wrong goal? err={err}"
 
 
+class TestFetchPlanner:
+    """End-to-end IK + trajectory planning on Fetch: 15 DoF with 8
+    parameter joints — the reference's hardest bookkeeping case
+    (SURVEY.md §7 hard part 6)."""
+
+    FETCH_RT = np.array(
+        [
+            [-0.05241979, -0.45344928, -0.88973933, 0.41363978],
+            [-0.27383122, -0.8502871, 0.44947574, 0.12551154],
+            [-0.96034825, 0.26719978, -0.07959669, 0.97476065],
+            [0.0, 0.0, 0.0, 1.0],
+        ]
+    )
+
+    def test_fetch_ik_and_plan(self, data_dir):
+        from grasptrajopt_tpu.planning.utils import default_pose
+
+        cfg = load_robot_config("fetch", data_dir)
+        robot = GTORobotModel(
+            model_dir=f"{data_dir}/robots/fetch",
+            urdf_filename=f"{data_dir}/robots/fetch/fetch.urdf",
+            time_derivs=[0, 1],
+            param_joints=cfg["param_joints"],
+            collision_link_names=cfg["collision_link_names"],
+            points_per_link=50,
+            dtype=jnp.float64,
+        )
+        robot.setup_workspace_field(arm_len=cfg["arm_len"], arm_height=cfg["arm_height"])
+        assert robot.num_param_joints == 8 and robot.num_opt_joints == 7
+
+        qc = np.asarray(cfg["default_pose"], dtype=np.float64)
+        ik = IKSolver(robot, cfg["link_ee"], cfg["link_gripper"])
+        ik.setup_optimization()
+        # the tucked default pose traps single-seed descent in a 26-degree
+        # local minimum; the vmapped multi-start finds the exact solution
+        q_sol, err_pos, err_rot, _ = ik.solve_ik(
+            qc, self.FETCH_RT, np.zeros(robot.field_size), [0, 0, 0],
+            verbose=False, multistart=True,
+        )
+        assert err_pos < 0.01, err_pos
+        assert err_rot < 5.0, err_rot
+        # all 8 parameter joints (torso, head, wheels, fingers, bellows) pinned
+        np.testing.assert_allclose(
+            q_sol[robot.parameter_joint_indexes], qc[robot.parameter_joint_indexes], atol=0
+        )
+
+        planner = GTOPlanner(robot, cfg["link_ee"], cfg["link_gripper"], iterations=40)
+        Q, dQ, cost = planner.plan(
+            qc, self.FETCH_RT, np.zeros(robot.field_size), [0, 0, 0], q_sol,
+            use_standoff=True, axis_standoff=cfg["axis_standoff"],
+        )
+        assert Q.shape == (15, 50)
+        np.testing.assert_allclose(Q[:, 0], qc, atol=1e-9)
+        np.testing.assert_allclose(
+            Q[robot.parameter_joint_indexes],
+            np.tile(qc[robot.parameter_joint_indexes, None], (1, 50)),
+            atol=1e-9,
+        )
+        # the goal pose targets link_ee (wrist_roll_link); unlike the Panda,
+        # Fetch's gripper_link sits ~0.17 m beyond it
+        T_end = np.asarray(
+            robot.get_global_link_transform(cfg["link_ee"], jnp.asarray(Q[:, -1]))
+        )
+        err_end = np.linalg.norm(T_end[:3, 3] - self.FETCH_RT[:3, 3])
+        assert err_end < 0.03, f"final ee position error {err_end}"
+
+
 class TestBasePlanner:
     def test_base_moves_toward_out_of_reach_goal(self, panda):
         """A goal translated 1.5 m along +x is unreachable from a fixed base;
