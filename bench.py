@@ -100,8 +100,10 @@ def main():
         qc = SYNTH_DEFAULT_POSE.astype(np.float32)
         RT = make_synthetic_goal(0).astype(np.float32)
 
+    field_dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16", "0") == "1" else None
     planner = GTOPlanner(
-        robot, link_ee, link_gripper, iterations=iterations, obstacle_mode=obstacle_mode
+        robot, link_ee, link_gripper, iterations=iterations, obstacle_mode=obstacle_mode,
+        field_dtype=field_dtype,
     )
     _, solve_batch, solve_batch_shared = planner.setup_optimization(
         goal_size=goal_capacity, use_standoff=True, axis_standoff=axis_standoff

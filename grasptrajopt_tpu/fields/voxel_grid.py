@@ -118,10 +118,13 @@ class VoxelGrid:
             return self.lookup_nearest(field_flat, points)
         raise ValueError(f"unknown interp mode '{interp}'")
 
-    def pack(self, field_flat):
+    def pack(self, field_flat, dtype=None):
         """Pack the 8 trilinear corners per cell: (size, 8). One contiguous
-        row gather then serves each query (ops.interp.pack_corners)."""
-        return pack_corners(field_flat, self.shape)
+        row gather then serves each query (ops.interp.pack_corners).
+        Passing dtype=jnp.bfloat16 halves the gather bytes — the eps-band
+        cost values (<= ~0.1) lose < 0.4% relative precision."""
+        packed = pack_corners(field_flat, self.shape)
+        return packed.astype(dtype) if dtype is not None else packed
 
     def lookup_packed(self, packed, points, row_offset=0):
         return field_lookup_trilinear_packed(

@@ -171,6 +171,8 @@ def field_lookup_trilinear_packed_soa(
 
     offs = bz + shape[2] * (by + shape[1] * bx) + row_offset
     rows = packed[offs]  # (..., P, 8)
+    if rows.dtype != x.dtype:
+        rows = rows.astype(x.dtype)  # bf16 tables upcast after the gather
     w = jnp.stack(
         [
             (1 - fx) * (1 - fy) * (1 - fz), (1 - fx) * (1 - fy) * fz,
