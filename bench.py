@@ -101,9 +101,12 @@ def main():
         RT = make_synthetic_goal(0).astype(np.float32)
 
     field_dtype = jnp.bfloat16 if os.environ.get("BENCH_BF16", "0") == "1" else None
+    lm_alphas = None
+    if os.environ.get("BENCH_ALPHAS"):
+        lm_alphas = tuple(float(a) for a in os.environ["BENCH_ALPHAS"].split(","))
     planner = GTOPlanner(
         robot, link_ee, link_gripper, iterations=iterations, obstacle_mode=obstacle_mode,
-        field_dtype=field_dtype,
+        field_dtype=field_dtype, lm_alphas=lm_alphas,
     )
     _, solve_batch, solve_batch_shared = planner.setup_optimization(
         goal_size=goal_capacity, use_standoff=True, axis_standoff=axis_standoff

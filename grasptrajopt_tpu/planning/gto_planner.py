@@ -52,7 +52,11 @@ class GTOPlanner:
         obstacle_mode: str = "field",
         sdf_epsilon: float = 0.02,
         field_dtype=None,
+        lm_alphas=None,
     ):
+        # trial-step scales per LM iteration; each candidate costs a full
+        # residual pass (None = TrajectoryConfig default)
+        self.lm_alphas = lm_alphas
         # field_dtype=jnp.bfloat16 stores the packed corner tables in bf16
         # (half the gather traffic of the dominant op; < 0.4% cost error)
         self.field_dtype = field_dtype
@@ -252,11 +256,15 @@ class GTOPlanner:
             costs = jnp.where(params["goal_mask"], costs, jnp.inf)
             return jnp.argmin(costs)
 
+        cfg_kwargs = {}
+        if self.lm_alphas is not None:
+            cfg_kwargs["alphas"] = tuple(self.lm_alphas)
         cfg = TrajectoryConfig(
             T=T,
             n_fixed=2,
             smooth_weight=0.01 / self.dt**2,
             iterations=self.iterations,
+            **cfg_kwargs,
         )
         traj_term = None
         if self.collision_avoidance and self.obstacle_mode == "points":
