@@ -100,7 +100,6 @@ def make_trajectory_solver(
     w = config.smooth_weight
 
     t_all = jnp.arange(T, dtype=jnp.int32)
-    t_free = t_all[nf:]
 
     def assemble(X, qc_opt):
         prefix = jnp.broadcast_to(qc_opt, (nf,) + qc_opt.shape)
