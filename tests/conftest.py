@@ -16,6 +16,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+if os.environ.get("GTO_TEST_TPU", "0") != "1":
+    # the container's sitecustomize registers a TPU plugin and forces the
+    # platform via jax.config (which overrides the env var) — counter it at
+    # the config level so tests stay on CPU even under a raw pytest launch
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
