@@ -8,10 +8,11 @@ normal-alignment sign vote). Uses scipy's cKDTree on the host — this path
 runs once per robot link at model-build time; the hot runtime SDF path is
 the on-device DepthPointCloud/ops.min_sqdist pipeline.
 
-The virtual-scan surface sampling mode ('scan', pyrender/OpenGL based,
-surface_point_cloud.py:157-175) is not provided: the planners exclusively
-use the 'sample' path (gto/gto_models.py:76), and this environment has no
-GL. `surface_point_method='scan'` raises with a clear message.
+The virtual-scan surface sampling mode ('scan',
+surface_point_cloud.py:157-175 + scan.py in the reference, pyrender/OpenGL
+there) is provided GL-free through the software z-buffer rasterizer — see
+fields/scan.py. The 'depth' sign method (camera-visibility vote across the
+scans) is supported via `use_depth_buffer=True` / `sign_method='depth'`.
 """
 
 from __future__ import annotations
@@ -35,21 +36,55 @@ class SurfacePointCloud:
         mesh: Optional[TriangleMesh],
         points: np.ndarray,
         normals: Optional[np.ndarray] = None,
+        scans=None,
     ):
         self.mesh = mesh
         self.points = np.asarray(points, dtype=np.float64)
         self.normals = None if normals is None else np.asarray(normals, dtype=np.float64)
+        self.scans = scans
         self.kd_tree = cKDTree(self.points)
 
     def get_random_surface_points(self, count: int, seed: int = 0) -> np.ndarray:
         idx = np.random.default_rng(seed).choice(self.points.shape[0], count)
         return self.points[idx]
 
-    def get_sdf(self, query_points, sample_count: int = 11, return_gradients: bool = False):
+    def is_outside(self, query_points) -> np.ndarray:
+        """True where ANY scan sees the point in free space (parity:
+        surface_point_cloud.py:136-143 is_outside)."""
+        assert self.scans, "is_outside needs scans (surface_point_method='scan')"
+        query_points = np.asarray(query_points, dtype=np.float64)
+        result = np.zeros(query_points.shape[0], dtype=bool)
+        for scan in self.scans:
+            result |= scan.is_visible(query_points)
+        return result
+
+    def get_sdf(
+        self,
+        query_points,
+        sample_count: int = 11,
+        return_gradients: bool = False,
+        use_depth_buffer: bool = False,
+    ):
         """Distance to nearest surface sample; sign by majority vote of
         normal alignment over the k nearest samples (parity:
-        surface_point_cloud.py:32-64, sign_method='normal')."""
+        surface_point_cloud.py:32-64, sign_method='normal') or, with
+        `use_depth_buffer`, by the scans' camera-visibility test
+        (sign_method='depth')."""
         query_points = np.asarray(query_points, dtype=np.float64)
+        if use_depth_buffer:
+            distances, indices = self.kd_tree.query(query_points)
+            sdf = distances.astype(np.float32).reshape(-1)
+            inside = ~self.is_outside(query_points)
+            sdf[inside] *= -1
+            if return_gradients:
+                gradients = query_points - self.points[indices]
+                gradients[inside] *= -1
+                near = np.abs(sdf) < math.sqrt(0.0025**2 * 3) * 3
+                if self.normals is not None:
+                    gradients = np.where(near[:, None], self.normals[indices], gradients)
+                gradients /= np.maximum(np.linalg.norm(gradients, axis=1)[:, None], 1e-12)
+                return sdf, gradients
+            return sdf
         assert self.normals is not None, "normals required for sign determination"
         distances, indices = self.kd_tree.query(query_points, k=sample_count)
         if sample_count == 1:
@@ -71,12 +106,12 @@ class SurfacePointCloud:
             return sdf, gradients
         return sdf
 
-    def get_sdf_in_batches(self, query_points, sample_count: int = 11, batch_size: int = 1_000_000, return_gradients: bool = False):
+    def get_sdf_in_batches(self, query_points, sample_count: int = 11, batch_size: int = 1_000_000, return_gradients: bool = False, use_depth_buffer: bool = False):
         query_points = np.asarray(query_points)
         if query_points.shape[0] <= batch_size:
-            return self.get_sdf(query_points, sample_count, return_gradients)
+            return self.get_sdf(query_points, sample_count, return_gradients, use_depth_buffer)
         chunks = [
-            self.get_sdf(c, sample_count, return_gradients)
+            self.get_sdf(c, sample_count, return_gradients, use_depth_buffer)
             for c in np.array_split(query_points, math.ceil(query_points.shape[0] / batch_size))
         ]
         if return_gradients:
@@ -86,10 +121,12 @@ class SurfacePointCloud:
             )
         return np.concatenate(chunks)
 
-    def get_voxels(self, voxel_resolution: int, sample_count: int = 11, pad: bool = False):
+    def get_voxels(self, voxel_resolution: int, sample_count: int = 11, pad: bool = False, use_depth_buffer: bool = False):
         """SDF sampled on the [-1, 1]^3 raster (parity: get_voxels +
         utils.get_raster_points)."""
-        sdf = self.get_sdf_in_batches(get_raster_points(voxel_resolution), sample_count)
+        sdf = self.get_sdf_in_batches(
+            get_raster_points(voxel_resolution), sample_count, use_depth_buffer=use_depth_buffer
+        )
         voxels = sdf.reshape((voxel_resolution,) * 3)
         if pad:
             voxels = np.pad(voxels, 1, mode="constant", constant_values=1.0)
@@ -153,10 +190,16 @@ def get_surface_point_cloud(
     seed: int = 0,
 ) -> SurfacePointCloud:
     if surface_point_method == "scan":
-        raise NotImplementedError(
-            "virtual-scan surface sampling requires GL rendering; use "
-            "surface_point_method='sample' (the path the planners use, "
-            "gto/gto_models.py:76)"
+        from grasptrajopt_tpu.fields.scan import create_from_scans
+
+        if bounding_radius is None:
+            bounding_radius = mesh.bounding_radius * 1.1
+        return create_from_scans(
+            mesh,
+            bounding_radius=bounding_radius,
+            scan_count=scan_count,
+            scan_resolution=scan_resolution,
+            calculate_normals=calculate_normals,
         )
     if surface_point_method != "sample":
         raise ValueError(f"unknown surface point method '{surface_point_method}'")
@@ -166,16 +209,77 @@ def get_surface_point_cloud(
     return SurfacePointCloud(mesh, points, normals)
 
 
-def mesh_to_sdf(mesh: TriangleMesh, query_points: np.ndarray, sample_point_count: int = 10_000_000, normal_sample_count: int = 11):
-    cloud = get_surface_point_cloud(mesh, "sample", sample_point_count=sample_point_count)
-    return cloud.get_sdf_in_batches(query_points, sample_count=normal_sample_count)
+def _check_sign_method(surface_point_method: str, sign_method: str) -> str:
+    if surface_point_method == "sample" and sign_method == "depth":
+        # parity: mesh_to_sdf/__init__.py:31-33 — falls back with a notice
+        print(
+            "Incompatible methods for sampling points and determining sign, "
+            "using sign_method='normal' instead."
+        )
+        return "normal"
+    return sign_method
 
 
-def mesh_to_voxels(mesh: TriangleMesh, voxel_resolution: int = 64, sample_point_count: int = 10_000_000, normal_sample_count: int = 11, pad: bool = False):
-    cloud = get_surface_point_cloud(scale_to_unit_cube(mesh), "sample", sample_point_count=sample_point_count)
-    return cloud.get_voxels(voxel_resolution, sample_count=normal_sample_count, pad=pad)
+def mesh_to_sdf(
+    mesh: TriangleMesh,
+    query_points: np.ndarray,
+    surface_point_method: str = "sample",
+    sign_method: str = "normal",
+    bounding_radius: Optional[float] = None,
+    scan_count: int = 100,
+    scan_resolution: int = 400,
+    sample_point_count: int = 10_000_000,
+    normal_sample_count: int = 11,
+):
+    sign_method = _check_sign_method(surface_point_method, sign_method)
+    cloud = get_surface_point_cloud(
+        mesh, surface_point_method, bounding_radius=bounding_radius,
+        scan_count=scan_count, scan_resolution=scan_resolution,
+        sample_point_count=sample_point_count,
+    )
+    return cloud.get_sdf_in_batches(
+        query_points, sample_count=normal_sample_count,
+        use_depth_buffer=sign_method == "depth",
+    )
 
 
-def sample_sdf_near_surface(mesh: TriangleMesh, number_of_points: int = 500000, sample_point_count: int = 10_000_000, normal_sample_count: int = 11):
-    cloud = get_surface_point_cloud(scale_to_unit_sphere(mesh), "sample", sample_point_count=sample_point_count)
+def mesh_to_voxels(
+    mesh: TriangleMesh,
+    voxel_resolution: int = 64,
+    surface_point_method: str = "sample",
+    sign_method: str = "normal",
+    scan_count: int = 100,
+    scan_resolution: int = 400,
+    sample_point_count: int = 10_000_000,
+    normal_sample_count: int = 11,
+    pad: bool = False,
+):
+    sign_method = _check_sign_method(surface_point_method, sign_method)
+    cloud = get_surface_point_cloud(
+        scale_to_unit_cube(mesh), surface_point_method, bounding_radius=3**0.5,
+        scan_count=scan_count, scan_resolution=scan_resolution,
+        sample_point_count=sample_point_count,
+    )
+    return cloud.get_voxels(
+        voxel_resolution, sample_count=normal_sample_count, pad=pad,
+        use_depth_buffer=sign_method == "depth",
+    )
+
+
+def sample_sdf_near_surface(
+    mesh: TriangleMesh,
+    number_of_points: int = 500000,
+    surface_point_method: str = "sample",
+    sign_method: str = "normal",
+    scan_count: int = 100,
+    scan_resolution: int = 400,
+    sample_point_count: int = 10_000_000,
+    normal_sample_count: int = 11,
+):
+    _check_sign_method(surface_point_method, sign_method)
+    cloud = get_surface_point_cloud(
+        scale_to_unit_sphere(mesh), surface_point_method, bounding_radius=1.0,
+        scan_count=scan_count, scan_resolution=scan_resolution,
+        sample_point_count=sample_point_count,
+    )
     return cloud.sample_sdf_near_surface(number_of_points, sample_count=normal_sample_count)

@@ -24,8 +24,13 @@ _tried = False
 
 
 def build(force: bool = False) -> bool:
-    """Compile libgeomcore.so with g++; returns success."""
-    if os.path.exists(_LIB) and not force:
+    """Compile libgeomcore.so with g++; returns success. Rebuilds when the
+    source is newer than the library."""
+    if (
+        os.path.exists(_LIB)
+        and not force
+        and (not os.path.exists(_SRC) or os.path.getmtime(_LIB) >= os.path.getmtime(_SRC))
+    ):
         return True
     if not os.path.exists(_SRC):
         return False
@@ -42,7 +47,7 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB) and not build():
+    if not build():
         return None
     try:
         lib = ctypes.CDLL(_LIB)
@@ -64,6 +69,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
     ]
     lib.geom_kdtree_free.argtypes = [ctypes.c_void_p]
+    lib.geom_rasterize.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,  # verts_cam, n_verts
+        ctypes.c_void_p, ctypes.c_int64,  # faces, n_faces
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # W, H, obj_id
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # depth, id, face
+    ]
     _lib = lib
     return _lib
 
@@ -99,6 +111,46 @@ def load_mesh_native(path: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         return vertices, faces
     finally:
         lib.geom_mesh_free(handle)
+
+
+def rasterize_native(
+    verts_cam: np.ndarray,
+    faces: np.ndarray,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    width: int,
+    height: int,
+    obj_id: int,
+    depth_buf: np.ndarray,
+    id_buf: np.ndarray,
+    face_buf: Optional[np.ndarray] = None,
+) -> bool:
+    """Z-buffer rasterize one camera-frame mesh into caller-owned buffers
+    (geomcore geom_rasterize). Returns False when the native lib is absent
+    — the caller falls back to envs/render.py's numpy path."""
+    lib = _load()
+    if lib is None:
+        return False
+    v = np.ascontiguousarray(verts_cam, dtype=np.float64)
+    f = np.ascontiguousarray(faces, dtype=np.int32)
+    assert depth_buf.dtype == np.float32 and depth_buf.flags.c_contiguous
+    assert id_buf.dtype == np.int32 and id_buf.flags.c_contiguous
+    fb = None
+    if face_buf is not None:
+        assert face_buf.dtype == np.int32 and face_buf.flags.c_contiguous
+        fb = face_buf.ctypes.data_as(ctypes.c_void_p)
+    lib.geom_rasterize(
+        v.ctypes.data_as(ctypes.c_void_p), v.shape[0],
+        f.ctypes.data_as(ctypes.c_void_p), f.shape[0],
+        float(fx), float(fy), float(cx), float(cy),
+        int(width), int(height), int(obj_id),
+        depth_buf.ctypes.data_as(ctypes.c_void_p),
+        id_buf.ctypes.data_as(ctypes.c_void_p),
+        fb,
+    )
+    return True
 
 
 class NativeKDTree:

@@ -198,4 +198,81 @@ void geom_kdtree_query(void* handle, const double* queries, int64_t m,
 
 void geom_kdtree_free(void* handle) { delete static_cast<KDTree*>(handle); }
 
+// ------------------------------------------------------------- rasterizer
+//
+// Perspective z-buffer triangle rasterizer — the framework's software
+// depth camera. Replaces the reference's GPU renderers (PyBullet's
+// getCameraImage for scene observation, pyrender/OpenGL for the
+// mesh_to_sdf virtual scans; SURVEY.md C10/C20). Pinhole model matching
+// fields/depth_point_cloud.py: camera looks down +z, x right, y down,
+// pixel u = fx*x/z + cx, v = fy*y/z + cy; output depth is camera-frame z.
+//
+// Vertices arrive already in the camera frame. 1/z is interpolated
+// linearly in screen space (perspective-correct depth). Triangles with
+// any vertex behind the near plane are skipped (adequate: scene cameras
+// never intersect geometry). No backface culling — meshes are not
+// guaranteed closed and a depth sensor z-test makes culling unnecessary.
+//
+// Accumulates into caller-owned buffers so multi-object scenes compose:
+//   depth_buf (H*W float32) initialised to +inf (or a far value),
+//   id_buf    (H*W int32)   object id of the nearest surface per pixel,
+//   face_buf  (H*W int32)   triangle index per pixel (may be null).
+
+void geom_rasterize(const double* verts_cam, int64_t n_verts,
+                    const int32_t* faces, int64_t n_faces,
+                    double fx, double fy, double cx, double cy,
+                    int32_t width, int32_t height, int32_t obj_id,
+                    float* depth_buf, int32_t* id_buf, int32_t* face_buf) {
+  (void)n_verts;
+  const double znear = 1e-6;
+  for (int64_t f = 0; f < n_faces; ++f) {
+    const int32_t* tri = faces + f * 3;
+    double x[3], y[3], w[3];  // screen u, v, 1/z
+    bool ok = true;
+    for (int k = 0; k < 3; ++k) {
+      const double* p = verts_cam + static_cast<int64_t>(tri[k]) * 3;
+      if (p[2] <= znear) { ok = false; break; }
+      w[k] = 1.0 / p[2];
+      x[k] = fx * p[0] * w[k] + cx;
+      y[k] = fy * p[1] * w[k] + cy;
+    }
+    if (!ok) continue;
+    int32_t x0 = static_cast<int32_t>(std::floor(std::min({x[0], x[1], x[2]})));
+    int32_t x1 = static_cast<int32_t>(std::ceil(std::max({x[0], x[1], x[2]})));
+    int32_t y0 = static_cast<int32_t>(std::floor(std::min({y[0], y[1], y[2]})));
+    int32_t y1 = static_cast<int32_t>(std::ceil(std::max({y[0], y[1], y[2]})));
+    x0 = std::max(x0, 0);
+    y0 = std::max(y0, 0);
+    x1 = std::min(x1, width - 1);
+    y1 = std::min(y1, height - 1);
+    if (x0 > x1 || y0 > y1) continue;
+    // edge functions: area * barycentric
+    double ax = x[1] - x[0], ay = y[1] - y[0];
+    double bx = x[2] - x[0], by = y[2] - y[0];
+    double area = ax * by - ay * bx;
+    if (std::abs(area) < 1e-12) continue;
+    double inv_area = 1.0 / area;
+    for (int32_t v = y0; v <= y1; ++v) {
+      for (int32_t u = x0; u <= x1; ++u) {
+        // pixel center sampling
+        double px = u + 0.5, py = v + 0.5;
+        double dx = px - x[0], dy = py - y[0];
+        double b1 = (dx * by - dy * bx) * inv_area;
+        double b2 = (ax * dy - ay * dx) * inv_area;
+        double b0 = 1.0 - b1 - b2;
+        if (b0 < 0.0 || b1 < 0.0 || b2 < 0.0) continue;
+        double wi = b0 * w[0] + b1 * w[1] + b2 * w[2];
+        if (wi <= 0.0) continue;
+        float z = static_cast<float>(1.0 / wi);
+        int64_t pix = static_cast<int64_t>(v) * width + u;
+        if (z < depth_buf[pix]) {
+          depth_buf[pix] = z;
+          id_buf[pix] = obj_id;
+          if (face_buf) face_buf[pix] = static_cast<int32_t>(f);
+        }
+      }
+    }
+  }
+}
+
 }  // extern "C"

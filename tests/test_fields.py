@@ -168,9 +168,35 @@ class TestSurfacePointCloud:
         assert sdf[2] > 0 and sdf[3] > 0
         np.testing.assert_allclose(np.abs(sdf), [1.0, 0.5, 0.5, 0.2], atol=0.05)
 
-    def test_scan_method_raises(self):
-        with pytest.raises(NotImplementedError):
-            get_surface_point_cloud(make_cube(), "scan")
+    def test_scan_method_parity_with_sample(self):
+        """Virtual-scan sampling (software z-buffer scans from Fibonacci
+        sphere cameras) must agree with area-weighted sampling — and with
+        the exact SDF — on a sphere, for both sign methods."""
+        sphere = make_icosphere(radius=0.5, subdiv=3)
+        cloud = get_surface_point_cloud(sphere, "scan", scan_count=20, scan_resolution=100)
+        assert cloud.points.shape[0] > 10_000
+        assert cloud.scans is not None and len(cloud.scans) == 20
+        radii = np.linalg.norm(cloud.points, axis=1)
+        assert radii.min() > 0.49 and radii.max() < 0.505
+        # normals point outward
+        align = np.einsum("ij,ij->i", cloud.normals, cloud.points / radii[:, None])
+        assert (align > 0.9).mean() > 0.99
+
+        q = np.array([[0, 0, 0], [0.25, 0, 0], [0.75, 0, 0], [0, 0, 0.6], [0.4, 0.3, 0.0]])
+        exact = np.linalg.norm(q, axis=1) - 0.5
+        np.testing.assert_allclose(cloud.get_sdf(q), exact, atol=0.03)
+        np.testing.assert_allclose(cloud.get_sdf(q, use_depth_buffer=True), exact, atol=0.03)
+
+    def test_scan_depth_sign_on_box(self):
+        from grasptrajopt_tpu.fields import mesh_to_sdf
+
+        q = np.array([[0.0, 0, 0], [0.25, 0, 0], [0.5, 0.5, 0.5]])
+        sd = mesh_to_sdf(
+            make_cube(), q, surface_point_method="scan", sign_method="depth",
+            scan_count=30, scan_resolution=120,
+        )
+        # cube is [-0.5, 0.5]^3: center inside, edge-adjacent inside, corner on surface
+        assert sd[0] < -0.4 and sd[1] < 0 and abs(sd[2]) < 0.05
 
     def test_get_voxels_shape(self):
         cloud = get_surface_point_cloud(make_icosphere(subdiv=2), "sample", sample_point_count=5000)
