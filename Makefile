@@ -7,7 +7,7 @@
 
 CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
-.PHONY: test test-fast bench
+.PHONY: test test-fast bench eval eval-shelf
 
 test:
 	$(CPU_ENV) python -m pytest tests/ -q
@@ -17,3 +17,10 @@ test-fast:
 
 bench:
 	python bench.py
+
+# closed-loop evaluation on synthetic SceneReplica-style scenes (CPU)
+eval:
+	$(CPU_ENV) python examples/synthetic_eval.py -t tabletop
+
+eval-shelf:
+	$(CPU_ENV) python examples/synthetic_eval.py -t shelf

@@ -4,14 +4,25 @@ Measures the flagship path — batched goal-set trajectory optimization
 (GTOPlanner core program: 50-step horizon, goal-set point matching with
 standoff, trilinear SDF obstacle cost over all body surface points, box
 limits, 50 projected-LM iterations) — and reports throughput against the
-reference's CPU pipeline.
+reference's CPU pipeline, PLUS plan-quality gates: the timed plans are
+checked for goal reach (final end-effector pose within the reference's IK
+acceptance gates, pybullet_gto_planning.py:262) and collision (> 5 body
+points inside the analytic table slab at any step — the replay criterion
+of pybullet_evaluate_plans.py:219-237, computable exactly here because the
+bench obstacle is analytic).
 
 Baseline (BASELINE.md): the reference's mean planning time per object is
 10.25 s on the Panda tabletop split => 0.0976 plans/s. Its solves are
 Ipopt with max_iter=100 on the same problem shape (T=50, ~1.2k surface
 points, 1e5+ voxel field).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Knobs (env): BENCH_BATCH, BENCH_GOALS, BENCH_ITERS, BENCH_PPL, BENCH_REPS,
+BENCH_ROBOT (panda|fetch), BENCH_MODE (field|points), BENCH_SHARED,
+BENCH_STANDOFF (-0.1 tabletop / -0.2 shelf knob), BENCH_MESH (N>1: shard
+the batch over an N-device mesh via parallel/sharded — per-problem-fields
+mode), BENCH_QUALITY (0 to skip the quality pass).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "quality"}.
 """
 
 import json
@@ -23,6 +34,64 @@ import numpy as np
 
 BASELINE_PLANS_PER_S = 1.0 / 10.25  # Panda tabletop GTO mean planning time
 
+# analytic table slab (world frame): the bench scene's obstacle
+SLAB_X = (0.2, 0.9)
+SLAB_Y = (-0.6, 0.6)
+SLAB_Z = (0.10, 0.15)
+
+
+def slab_signed_distance(pts: np.ndarray) -> np.ndarray:
+    """Exact signed distance to the axis-aligned table slab (negative
+    inside) — standard box SDF."""
+    center = np.array([np.mean(SLAB_X), np.mean(SLAB_Y), np.mean(SLAB_Z)])
+    half = np.array([
+        (SLAB_X[1] - SLAB_X[0]) / 2,
+        (SLAB_Y[1] - SLAB_Y[0]) / 2,
+        (SLAB_Z[1] - SLAB_Z[0]) / 2,
+    ])
+    d = np.abs(pts - center) - half
+    outside = np.linalg.norm(np.maximum(d, 0.0), axis=-1)
+    inside = np.minimum(np.max(d, axis=-1), 0.0)
+    return outside + inside
+
+
+def make_cost_field(grid, epsilon: float = 0.02) -> np.ndarray:
+    """The reference's eps-band shaped obstacle cost of the analytic slab
+    (depth_point_cloud.py:65-91 semantics on exact distances)."""
+    d = slab_signed_distance(grid.grid_points().astype(np.float64))
+    cost = np.zeros_like(d)
+    inside = d <= 0
+    band = (d > 0) & (d < epsilon)
+    cost[inside] = -d[inside] + epsilon / 2
+    cost[band] = np.square(d[band] - epsilon) / (2 * epsilon)
+    return cost.astype(np.float32)
+
+
+def make_goal_sets(RT_base: np.ndarray, batch: int, cap: int, rng) -> np.ndarray:
+    """Diverse reachable goal sets: per problem a position offset over the
+    table and a base yaw; per goal slot an additional yaw about world z
+    (grasp symmetry family) plus small positional jitter."""
+    RT = RT_base.copy()
+    RT[2, 3] += 0.08  # fingertips clear the slab top by > the eps band
+    tf_goal = np.tile(RT, (batch, cap, 1, 1)).astype(np.float32)
+    d_pos = np.stack(
+        [
+            rng.uniform(-0.08, 0.08, size=(batch,)),
+            rng.uniform(-0.15, 0.15, size=(batch,)),
+            rng.uniform(0.0, 0.08, size=(batch,)),
+        ],
+        axis=-1,
+    )
+    base_yaw = rng.uniform(-np.pi, np.pi, size=(batch,))
+    for b in range(batch):
+        for g in range(cap):
+            yaw = base_yaw[b] + g * (2 * np.pi / cap)
+            c, s = np.cos(yaw), np.sin(yaw)
+            Rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+            tf_goal[b, g, :3, :3] = Rz @ tf_goal[b, g, :3, :3]
+            tf_goal[b, g, :3, 3] += d_pos[b] + rng.normal(scale=0.005, size=3)
+    return tf_goal
+
 
 def main():
     # Configuration via env for experimentation; defaults sized for one chip.
@@ -33,6 +102,9 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "2"))
     robot_name = os.environ.get("BENCH_ROBOT", "panda")
     obstacle_mode = os.environ.get("BENCH_MODE", "field")  # field | points
+    standoff_distance = float(os.environ.get("BENCH_STANDOFF", "-0.1"))
+    mesh_devices = int(os.environ.get("BENCH_MESH", "0"))
+    with_quality = os.environ.get("BENCH_QUALITY", "1") == "1"
     # default: the scene (cost fields / point sets) is shared across the
     # batch — the reference's own deployment shape (one observed scene,
     # many objects/goal-sets/seeds, pybullet_gto_planning.py:151-164);
@@ -40,6 +112,8 @@ def main():
     shared_scene = os.environ.get("BENCH_SHARED", "1") == "1"
     scene_capacity = int(os.environ.get("BENCH_SCENE_PTS", "2048"))
     data_dir = os.environ.get("GTO_DATA_DIR", "/root/reference/data")
+    if mesh_devices:
+        shared_scene = False  # mesh mode shards every argument leaf
 
     import jax
 
@@ -85,6 +159,11 @@ def main():
             ],
             dtype=np.float32,
         )
+        if robot_name == "fetch":
+            # fetch's workspace sits 1.1 m up (torso); lift the test grasp
+            # to tabletop height in front of the robot
+            RT[:2, 3] = [0.55, 0.0]
+            RT[2, 3] = 0.85
     else:
         from grasptrajopt_tpu.testing import (
             SYNTH_DEFAULT_POSE,
@@ -106,27 +185,28 @@ def main():
         lm_alphas = tuple(float(a) for a in os.environ["BENCH_ALPHAS"].split(","))
     planner = GTOPlanner(
         robot, link_ee, link_gripper, iterations=iterations, obstacle_mode=obstacle_mode,
-        field_dtype=field_dtype, lm_alphas=lm_alphas,
+        field_dtype=field_dtype, lm_alphas=lm_alphas, standoff_distance=standoff_distance,
     )
-    _, solve_batch, solve_batch_shared = planner.setup_optimization(
+    solve_one, solve_batch, solve_batch_shared = planner.setup_optimization(
         goal_size=goal_capacity, use_standoff=True, axis_standoff=axis_standoff
     )
 
-    # Problem batch: jittered copies of the representative grasp goal set,
-    # a synthetic tabletop obstacle field per problem.
+    # Problem batch: diverse goal sets over the tabletop (per-problem
+    # offsets + per-goal yaw family), eps-band shaped table-slab fields.
     rng = np.random.default_rng(0)
-    tf_goal = np.tile(RT, (batch, goal_capacity, 1, 1)).astype(np.float32)
-    tf_goal[..., :3, 3] += rng.normal(scale=0.02, size=(batch, goal_capacity, 3)).astype(np.float32)
+    if use_reference_robot:
+        tf_goal = make_goal_sets(RT, batch, goal_capacity, rng)
+    else:
+        tf_goal = np.tile(RT, (batch, goal_capacity, 1, 1)).astype(np.float32)
+        tf_goal[..., :3, 3] += rng.normal(
+            scale=0.02, size=(batch, goal_capacity, 3)
+        ).astype(np.float32)
     goal_mask = np.ones((batch, goal_capacity), dtype=bool)
 
     grid = robot.grid
-    pts = grid.grid_points()
-    in_table = (pts[:, 2] > 0.1) & (pts[:, 2] < 0.15)
-    field = np.zeros(grid.size, dtype=np.float32)
-    field[in_table] = 0.03
+    field = make_cost_field(grid)
     fields = np.tile(field, (batch, 1))
 
-    n_opt = robot.num_opt_joints
     opt_idx = robot.optimized_joint_indexes
     par_idx = robot.parameter_joint_indexes
     qc_opt = np.tile(qc[opt_idx], (batch, 1))
@@ -141,11 +221,13 @@ def main():
     }
     scene_params = {}
     if obstacle_mode == "points":
-        # synthetic tabletop as a surface point set (upward normals)
+        # the table slab top as a surface point set (upward normals)
         from grasptrajopt_tpu.fields.scene_points import downsample_scene
 
-        xs, ys = np.meshgrid(np.arange(0.2, 0.9, 0.01), np.arange(-0.5, 0.5, 0.01))
-        table_pts = np.stack([xs.ravel(), ys.ravel(), np.full(xs.size, 0.12)], axis=1)
+        xs, ys = np.meshgrid(
+            np.arange(SLAB_X[0], SLAB_X[1], 0.01), np.arange(SLAB_Y[0], SLAB_Y[1], 0.01)
+        )
+        table_pts = np.stack([xs.ravel(), ys.ravel(), np.full(xs.size, SLAB_Z[1])], axis=1)
         table_nrm = np.tile([0.0, 0.0, 1.0], (table_pts.shape[0], 1))
         scene = downsample_scene(table_pts, table_nrm, capacity=scene_capacity, resolution=0.02)
         target = downsample_scene(
@@ -169,10 +251,34 @@ def main():
     qc_opt = jnp.asarray(qc_opt)
     X0 = jnp.asarray(X0)
 
-    def step():
-        if shared_scene:
+    mesh_info = None
+    if mesh_devices:
+        from jax.sharding import Mesh
+
+        from grasptrajopt_tpu.parallel.sharded import make_sharded_solver
+
+        devices = jax.devices()[:mesh_devices]
+        assert len(devices) == mesh_devices, (
+            f"BENCH_MESH={mesh_devices} but only {len(devices)} devices"
+        )
+        assert batch % mesh_devices == 0, "batch must divide the mesh"
+        mesh = Mesh(np.array(devices), ("dp",))
+        sharded = make_sharded_solver(solve_one, mesh)
+        mesh_info = f"{mesh_devices}x{devices[0].platform}"
+
+        def step():
+            (Q, cost, aux), metrics = sharded(qc_opt, X0, params)
+            return Q, cost, aux
+
+    elif shared_scene:
+
+        def step():
             return solve_batch_shared(qc_opt, X0, params, scene_params)
-        return solve_batch(qc_opt, X0, params)
+
+    else:
+
+        def step():
+            return solve_batch(qc_opt, X0, params)
 
     # Warmup / compile
     t0 = time.time()
@@ -189,12 +295,55 @@ def main():
     best = min(times)
     plans_per_s = batch / best
 
+    quality = None
+    if with_quality and use_reference_robot:
+        # -- plan-quality gates (outside the timed region) --------------------
+        from grasptrajopt_tpu.spatial import r2quat
+        from grasptrajopt_tpu.spatial.quaternion import qangle_deg
+
+        q_param_b = jnp.broadcast_to(
+            jnp.asarray(q_param)[:, None, :], (batch, planner.T, q_param.shape[1])
+        )
+        Q_full = jax.jit(jax.vmap(jax.vmap(robot.assemble_q)))(Q, q_param_b)
+        T_end = robot.get_global_link_transform(link_ee, Q_full[:, -1])  # (B, 4, 4)
+        d = np.linalg.norm(
+            np.asarray(tf_goal)[:, :, :3, 3] - np.asarray(T_end)[:, None, :3, 3], axis=-1
+        )  # (B, cap)
+        qg = r2quat(jnp.asarray(tf_goal)[..., :3, :3])
+        qe = r2quat(jnp.asarray(T_end)[:, None, :3, :3])
+        rot = np.asarray(qangle_deg(qg, jnp.broadcast_to(qe, qg.shape)))  # (B, cap)
+        reached = ((d < 0.01) & (rot < 5.0)).any(axis=1)
+        best_goal = np.argmin(d + rot * 2e-3, axis=1)
+        err_pos = d[np.arange(batch), best_goal]
+        err_rot = rot[np.arange(batch), best_goal]
+
+        pts = np.asarray(
+            jax.jit(robot.fk_surface_points)(Q_full)
+        )  # (B, T, P, 3)
+        inside = (
+            (pts[..., 0] > SLAB_X[0]) & (pts[..., 0] < SLAB_X[1])
+            & (pts[..., 1] > SLAB_Y[0]) & (pts[..., 1] < SLAB_Y[1])
+            & (pts[..., 2] > SLAB_Z[0]) & (pts[..., 2] < SLAB_Z[1])
+        )
+        counts = inside.sum(axis=-1)  # (B, T)
+        collision = (counts > 5).any(axis=-1)
+        quality = {
+            "reached_frac": round(float(reached.mean()), 3),
+            "collision_frac": round(float(collision.mean()), 3),
+            "err_pos_median": round(float(np.median(err_pos)), 4),
+            "err_pos_p90": round(float(np.quantile(err_pos, 0.9)), 4),
+            "err_rot_median_deg": round(float(np.median(err_rot)), 2),
+            "max_inside_points": int(counts.max()),
+        }
+
     result = {
         "metric": "grasp_trajectory_solves_per_s",
         "value": round(plans_per_s, 3),
         "unit": "plans/s per chip",
         "vs_baseline": round(plans_per_s / BASELINE_PLANS_PER_S, 1),
     }
+    if quality is not None:
+        result["quality"] = quality
     print(json.dumps(result))
     print(
         json.dumps(
@@ -203,9 +352,11 @@ def main():
                     "robot": robot.name,
                     "obstacle_mode": obstacle_mode,
                     "shared_scene": shared_scene,
+                    "mesh": mesh_info,
                     "batch": batch,
                     "goal_capacity": goal_capacity,
                     "iterations": iterations,
+                    "standoff": standoff_distance,
                     "surface_points": robot.num_surface_points,
                     "field_size": robot.field_size,
                     "compile_s": round(compile_s, 1),

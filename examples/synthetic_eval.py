@@ -1,0 +1,221 @@
+"""Closed-loop evaluation on synthetic SceneReplica-style scenes — no
+pybullet, no external dataset.
+
+This is the framework's self-contained integration benchmark: procedurally
+generated tabletop/shelf scenes (envs/synthetic.py), depth observations
+from the software z-buffer renderer, the full GraspPipeline per object
+(fields -> grasp filter -> IK screen -> goal-set plan), then kinematic
+replay scoring with the reference's own criteria: goal reach within the IK
+gates and step-wise collision (> 5 body points with sdf < 0 => collision,
+/root/reference/examples/pybullet_evaluate_plans.py:219-237).
+
+Writes the reference's result-JSON schema
+(pybullet_gto_planning.py:323-338) so utils/results.py aggregates it
+exactly like the IROS'24 files.
+
+Run on CPU (the TPU chip is single-tenant; see CLAUDE.md):
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python examples/synthetic_eval.py
+or simply `make eval`.
+"""
+
+import argparse
+import datetime
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from grasptrajopt_tpu.envs.synthetic import SyntheticSceneEnv
+from grasptrajopt_tpu.fields import DepthPointCloud
+from grasptrajopt_tpu.planning import GTORobotModel
+from grasptrajopt_tpu.planning.evaluate import score_plan
+from grasptrajopt_tpu.planning.pipeline import GraspPipeline
+from grasptrajopt_tpu.planning.utils import get_data_dir, load_robot_config
+from grasptrajopt_tpu.utils.results import aggregate_results
+
+# scene-type knobs (parity: pybullet_gto_planning.py:91-109)
+SCENE_KNOBS = {
+    "tabletop": dict(standoff_distance=-0.1, orderings=["nearest_first", "random"]),
+    "shelf": dict(standoff_distance=-0.2, orderings=["random"]),
+}
+
+
+def make_args():
+    p = argparse.ArgumentParser(description="synthetic closed-loop evaluation")
+    p.add_argument("-r", "--robot", default="panda", choices=["panda", "fetch"])
+    p.add_argument("-t", "--scene_type", default="tabletop", choices=["tabletop", "shelf"])
+    p.add_argument("--scene_ids", default="10,36,48,65,77")
+    p.add_argument("--n_objects", type=int, default=5)
+    p.add_argument("--width", type=int, default=160)
+    p.add_argument("--height", type=int, default=160)
+    p.add_argument("--goal_capacity", type=int, default=16)
+    p.add_argument("--iterations", type=int, default=50)
+    p.add_argument("--outdir", default="results")
+    p.add_argument("--data_dir", default=None)
+    return p.parse_args()
+
+
+def build_models(robot_name: str, data_dir: str):
+    cfg = load_robot_config(robot_name, data_dir)
+    urdf_rel = cfg["urdf_robot_path"].split("data/", 1)[-1]
+    grip_rel = cfg["urdf_gripper_path"].split("data/", 1)[-1]
+    robot = GTORobotModel(
+        model_dir=os.path.join(data_dir, "robots", cfg["robot_name"]),
+        urdf_filename=os.path.join(data_dir, urdf_rel),
+        time_derivs=[0, 1],
+        param_joints=cfg["param_joints"],
+        collision_link_names=cfg["collision_link_names"],
+        dtype=jnp.float64,
+    )
+    robot.setup_workspace_field(arm_len=cfg["arm_len"], arm_height=cfg["arm_height"])
+    gripper = GTORobotModel(
+        model_dir=os.path.join(data_dir, "robots", cfg["robot_name"]),
+        urdf_filename=os.path.join(data_dir, grip_rel),
+        dtype=jnp.float64,
+    )
+    return robot, gripper, cfg
+
+
+def evaluate_scenes(
+    robot,
+    gripper,
+    cfg,
+    scene_type: str = "tabletop",
+    scene_ids=(10,),
+    n_objects: int = 5,
+    width: int = 160,
+    height: int = 160,
+    goal_capacity: int = 16,
+    iterations: int = 50,
+    orderings=None,
+    verbose: bool = True,
+):
+    """Run the full pipeline over synthetic scenes; returns the result dict
+    in the reference schema plus collision statistics."""
+    knobs = SCENE_KNOBS[scene_type]
+    orderings = orderings or knobs["orderings"]
+    env = SyntheticSceneEnv(
+        robot_name=cfg["robot_name"], scene_type=scene_type,
+        n_objects=n_objects, width=width, height=height,
+        depth_threshold=cfg.get("depth_threshold", 1.5),
+    )
+    pipeline = GraspPipeline(
+        robot, gripper, cfg["link_ee"], cfg["link_gripper"],
+        axis_standoff=cfg["axis_standoff"],
+        gripper_open_offsets=cfg["gripper_open_offsets"],
+        standoff_distance=knobs["standoff_distance"],
+        goal_capacity=goal_capacity, grid=robot.grid,
+        ik_capacity=goal_capacity, planner_iterations=iterations,
+    )
+    qc = np.asarray(cfg["default_pose"])
+    base_position = env.base_position
+
+    results = {}
+    for scene_id in scene_ids:
+        meta = env.setup_scene(scene_id)
+        scene_rec = {}
+        for ordering in orderings:
+            env.reset_scene()
+            order_rec = {}
+            for name in meta[ordering].split(","):
+                depth, mask, cam_pose, K = env.get_observation()
+                target_mask = mask == env._placed(name).uid
+                RTs = env.grasps_world(name, capacity=goal_capacity)
+                res = pipeline.plan_object(
+                    qc, depth, K, cam_pose, target_mask, RTs, base_position
+                )
+                rec = {
+                    "reward": 0,
+                    "checking_time": res.checking_time,
+                    "ik_time": res.ik_time,
+                    "planning_time": res.planning_time,
+                    "stage": res.stage,
+                    "num_grasps": res.n_grasps,
+                    "num_collision_free": res.n_collision_free,
+                    "num_ik": res.n_ik_found,
+                }
+                if res.plan is not None:
+                    depth_obs = np.array(depth, copy=True)
+                    depth_obs[target_mask] = pipeline.depth_threshold
+                    dpc_obs = DepthPointCloud(
+                        depth_obs, K, cam_pose, target_mask,
+                        threshold=pipeline.depth_threshold,
+                    )
+                    RT_base = RTs.copy()
+                    RT_base[:, :3, 3] -= base_position
+                    s = score_plan(
+                        robot, cfg["link_ee"], res.plan, RT_base, dpc_obs, base_position
+                    )
+                    rec.update(s)
+                    rec["plan"] = res.plan.tolist()
+                order_rec[name] = rec
+                env.remove_object(name)
+                if verbose:
+                    print(
+                        f"scene {scene_id} [{ordering}] {name}: stage={res.stage} "
+                        f"reward={rec.get('reward', 0)} "
+                        f"err_pos={rec.get('err_pos', float('nan')):.3f} "
+                        f"collision={rec.get('collision', '-')} "
+                        f"t={res.checking_time + res.ik_time + res.planning_time:.1f}s",
+                        flush=True,
+                    )
+            scene_rec[ordering] = order_rec
+        results[str(scene_id)] = scene_rec
+    return results
+
+
+def main():
+    args = make_args()
+    data_dir = args.data_dir or get_data_dir()
+    robot, gripper, cfg = build_models(args.robot, data_dir)
+    scene_ids = [int(s) for s in args.scene_ids.split(",")]
+
+    t0 = time.time()
+    results = evaluate_scenes(
+        robot, gripper, cfg,
+        scene_type=args.scene_type, scene_ids=scene_ids,
+        n_objects=args.n_objects, width=args.width, height=args.height,
+        goal_capacity=args.goal_capacity, iterations=args.iterations,
+    )
+    elapsed = time.time() - t0
+
+    os.makedirs(args.outdir, exist_ok=True)
+    stamp = datetime.datetime.now().strftime("%y-%m-%d_T%H%M%S")
+    out = os.path.join(
+        args.outdir, f"GTO_synthetic_{args.robot}_{args.scene_type}_{stamp}.json"
+    )
+    with open(out, "w") as f:
+        json.dump(results, f)
+
+    agg = aggregate_results(results)
+    collisions = sum(
+        int(bool(rec.get("collision", False)))
+        for orderings in results.values()
+        for obj in orderings.values()
+        for rec in obj.values()
+    )
+    print(json.dumps({
+        "trials": agg["trials"],
+        "success": agg["success"],
+        "success_rate": round(agg["success_rate"], 3),
+        "collisions": collisions,
+        "mean_checking_time": round(agg["mean_checking_time"] or 0, 2),
+        "mean_ik_time": round(agg["mean_ik_time"] or 0, 2),
+        "mean_planning_time": round(agg["mean_planning_time"] or 0, 2),
+        "elapsed_s": round(elapsed, 1),
+        "results_file": out,
+    }))
+
+
+if __name__ == "__main__":
+    main()

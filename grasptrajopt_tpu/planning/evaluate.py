@@ -1,0 +1,102 @@
+"""Plan replay evaluation: collision checking and goal-reach scoring.
+
+Library form of the reference's evaluation driver semantics
+(/root/reference/examples/pybullet_evaluate_plans.py:219-237): every step
+of a recorded plan is FK'd to body surface points and checked against the
+obstacle-only depth point cloud; a step with more than `threshold_points`
+points at sdf < 0 is a collision. Goal reach follows the driver's IK
+acceptance gates (pybullet_gto_planning.py:262).
+
+TPU redesign: the whole T-step replay is ONE batched FK + ONE fused
+min-distance query instead of the reference's per-step KD-tree loops.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from grasptrajopt_tpu.spatial import r2quat
+from grasptrajopt_tpu.spatial.quaternion import qangle_deg
+
+
+def check_plan_collision(
+    robot,
+    plan: np.ndarray,
+    depth_pc_obstacle,
+    base_position=(0.0, 0.0, 0.0),
+    threshold_points: int = 5,
+) -> Tuple[bool, np.ndarray]:
+    """Replay a (ndof, T) plan against the obstacle depth cloud.
+
+    Returns (collision, per-step inside-point counts). Collision when any
+    step has more than `threshold_points` surface points with sdf < 0
+    (parity: pybullet_evaluate_plans.py:219-237).
+    """
+    plan = np.asarray(plan)
+    Q = jnp.asarray(plan.T, robot.dtype)  # (T, ndof)
+    pts = robot.fk_surface_points(
+        Q, base_position=jnp.asarray(np.asarray(base_position), robot.dtype)
+    )  # (T, P, 3)
+    T, P = pts.shape[0], pts.shape[1]
+    sdf = depth_pc_obstacle.get_sdf(pts.reshape(-1, 3)).reshape(T, P)
+    counts = np.asarray((np.asarray(sdf) < 0).sum(axis=1))
+    return bool((counts > threshold_points).any()), counts
+
+
+def goalset_reach_errors(
+    robot, link_ee: str, q_final, RT_goals: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-goal final end-effector pose errors over the grasp set.
+
+    Returns (err_pos (n,) [m], err_rot (n,) [deg]) — the reference's error
+    metrics (gto/ik_solver.py:93-97). Goal sets contain symmetric grasps
+    (flip pairs sharing a position), so success tests must gate on ANY goal
+    satisfying both tolerances, not the min-position one."""
+    q_final = jnp.asarray(np.asarray(q_final), robot.dtype).reshape(-1)
+    T_ee = np.asarray(robot.get_global_link_transform(link_ee, q_final))
+    RT_goals = np.asarray(RT_goals)
+    d = np.linalg.norm(RT_goals[:, :3, 3] - T_ee[:3, 3], axis=1)
+    q_goals = r2quat(jnp.asarray(RT_goals[:, :3, :3], robot.dtype))
+    q_ee = r2quat(jnp.asarray(np.broadcast_to(T_ee[:3, :3], (len(d), 3, 3)), robot.dtype))
+    rot = np.asarray(qangle_deg(q_goals, q_ee))
+    return d, rot
+
+
+def score_plan(
+    robot,
+    link_ee: str,
+    plan: np.ndarray,
+    RT_goals: np.ndarray,
+    depth_pc_obstacle,
+    base_position=(0.0, 0.0, 0.0),
+    pos_tol: float = 0.02,
+    rot_tol_deg: float = 10.0,
+    threshold_points: int = 5,
+) -> dict:
+    """Full kinematic scoring of one plan: goal reach + collision replay.
+
+    reward = reached AND collision-free — the synthetic stand-in for the
+    reference's physical grasp reward (pybullet_scenereplica.py:574-589)."""
+    # the planner's goal frame includes the base offset: goals are given in
+    # the base frame by the drivers; callers pass base-frame goals here
+    d, rot = goalset_reach_errors(robot, link_ee, plan[:, -1], RT_goals)
+    within = (d < pos_tol) & (rot < rot_tol_deg)
+    reached = bool(within.any())
+    # report the errors of the goal actually reached (best combined score)
+    best = int(np.argmin(d + rot * 2e-3))
+    err_pos, err_rot = float(d[best]), float(rot[best])
+    collision, counts = check_plan_collision(
+        robot, plan, depth_pc_obstacle, base_position, threshold_points
+    )
+    return {
+        "err_pos": err_pos,
+        "err_rot": err_rot,
+        "reached": bool(reached),
+        "collision": bool(collision),
+        "max_inside_points": int(counts.max()),
+        "reward": int(reached and not collision),
+    }

@@ -67,6 +67,10 @@ class GraspPipeline:
         use_ik_standoff: bool = False,
         goal_capacity: int = 64,
         depth_threshold: float = 1.5,
+        grid=None,
+        ik_capacity: Optional[int] = None,
+        planner_iterations: int = 50,
+        ik_iterations: int = 50,
     ):
         self.robot = robot
         self.gripper_model = gripper_model
@@ -82,13 +86,20 @@ class GraspPipeline:
         self.use_ik_standoff = use_ik_standoff
         self.goal_capacity = goal_capacity
         self.depth_threshold = depth_threshold
+        # a fixed VoxelGrid keeps every stage's program shape-static across
+        # scenes: one compile for a whole evaluation run (the reference
+        # rebuilds its NLP per call; we don't even re-jit)
+        self.grid = grid
+        self.ik_capacity = ik_capacity
 
         self.planner = GTOPlanner(
             robot, link_ee, link_gripper,
             standoff_distance=standoff_distance, standoff_offset=standoff_offset,
+            iterations=planner_iterations,
         )
         self.ik_solver = IKSolver(
-            robot, link_ee, link_gripper, collision_avoidance=ik_collision_avoidance
+            robot, link_ee, link_gripper, collision_avoidance=ik_collision_avoidance,
+            iterations=ik_iterations,
         )
         self._gripper_pts_cache = None
 
@@ -99,8 +110,11 @@ class GraspPipeline:
         target-free obstacle field."""
         depth = np.asarray(depth)
         depth_pc = DepthPointCloud(depth, K, cam_pose, threshold=self.depth_threshold)
-        self.robot.setup_points_field(depth_pc.points)
-        grid = self.robot.grid
+        if self.grid is not None:
+            grid = self.robot.grid = self.grid
+        else:
+            self.robot.setup_points_field(depth_pc.points)
+            grid = self.robot.grid
         sdf_cost_all = np.asarray(depth_pc.build_cost_field(grid))
 
         depth_obstacle = np.array(depth, copy=True)
@@ -131,9 +145,16 @@ class GraspPipeline:
             RT_ik = RT_grasps_base @ self.robot.get_standoff_pose(
                 self.standoff_distance, self.axis_standoff
             )
+        # pad to a static batch capacity so repeated screens (one per object
+        # in an evaluation run) reuse one compiled program
+        n = RT_ik.shape[0]
+        if self.ik_capacity is not None and n < self.ik_capacity:
+            reps = int(np.ceil(self.ik_capacity / n))
+            RT_ik = np.tile(RT_ik, (reps, 1, 1))[: self.ik_capacity]
         q_sols, err_pos, err_rot, col = self.ik_solver.solve_ik_batch(
             q0, RT_ik, sdf_cost_obstacle, base_position, multistart=True
         )
+        q_sols, err_pos, err_rot, col = (a[:n] for a in (q_sols, err_pos, err_rot, col))
         found = (err_pos < 0.01) & (err_rot < 5.0) & (col < self.ik_collision_threshold)
         return q_sols, found
 
