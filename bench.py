@@ -183,13 +183,19 @@ def main():
     lm_alphas = None
     if os.environ.get("BENCH_ALPHAS"):
         lm_alphas = tuple(float(a) for a in os.environ["BENCH_ALPHAS"].split(","))
+    single_pass = os.environ.get("BENCH_1PASS", "0") == "1"
+    stacked = os.environ.get("BENCH_STACKED", "0") == "1"
     planner = GTOPlanner(
         robot, link_ee, link_gripper, iterations=iterations, obstacle_mode=obstacle_mode,
         field_dtype=field_dtype, lm_alphas=lm_alphas, standoff_distance=standoff_distance,
+        single_pass=single_pass,
     )
-    solve_one, solve_batch, solve_batch_shared = planner.setup_optimization(
+    solvers = planner.setup_optimization(
         goal_size=goal_capacity, use_standoff=True, axis_standoff=axis_standoff
     )
+    solve_one = solvers.solve_one
+    solve_batch = solvers.solve_batch
+    solve_batch_shared = solvers.solve_batch_shared
 
     # Problem batch: diverse goal sets over the tabletop (per-problem
     # offsets + per-goal yaw family), eps-band shaped table-slab fields.
@@ -244,7 +250,7 @@ def main():
             "sdf_cost_all": jnp.asarray(field),
             "sdf_cost_obstacle": jnp.asarray(field),
         }
-    if not shared_scene:
+    if not shared_scene and not (stacked and obstacle_mode == "field"):
         params.update(
             {k: jnp.broadcast_to(v, (batch,) + v.shape) for k, v in scene_params.items()}
         )
@@ -274,6 +280,23 @@ def main():
 
         def step():
             return solve_batch_shared(qc_opt, X0, params, scene_params)
+
+    elif stacked and obstacle_mode == "field":
+        # per-problem fields through the shared-gather path: one flat
+        # (B*2S, 8) table + per-problem row bases, packed inside the step
+        fields_all_b = jnp.broadcast_to(jnp.asarray(field), (batch, field.size))
+        fields_obs_b = fields_all_b
+
+        @jax.jit
+        def step_stacked(fa, fo, qc_opt_, X0_, params_):
+            tables, base = planner.pack_stacked_fields(fa, fo)
+            return solvers.solve_batch_stacked(
+                qc_opt_, X0_, {**params_, "field_base": base},
+                {"packed_fields": tables},
+            )
+
+        def step():
+            return step_stacked(fields_all_b, fields_obs_b, qc_opt, X0, params)
 
     else:
 

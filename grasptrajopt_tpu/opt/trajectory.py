@@ -65,6 +65,14 @@ class TrajectoryConfig(NamedTuple):
     # matches the two-candidate ladder on every convergence probe and is
     # ~20% faster end to end.
     alphas: Tuple[float, ...] = (1.0,)
+    # single_pass=True fuses the acceptance test into the next iteration's
+    # jacfwd pass: exactly ONE residual evaluation per iteration (the
+    # classic "delayed gratification" LM restructure). The H/g of the last
+    # ACCEPTED point are carried (tiny: (F, n, n) + (F, n)) so a rejected
+    # trial re-solves from them with a larger lambda. Halves the dominant
+    # field-gather traffic per iteration; the final trial point is also
+    # kept if it improves (its cost IS evaluated, by the next pass).
+    single_pass: bool = False
 
 
 def make_trajectory_solver(
@@ -215,11 +223,79 @@ def make_trajectory_solver(
             lam_new = jnp.clip(lam_new, config.lambda_min, config.lambda_max)
             return (X_new, lam_new, c_new, step_aux), None
 
+        def lin_at(X, step_aux):
+            """One jacfwd pass at X: cost, GN blocks H, gradient g."""
+            Q = assemble(X, qc_opt)
+            r_all, J_allT = jax.vmap(
+                lambda q, t: step_lin(q, t, step_aux, params)
+            )(Q, t_all)
+            c = jnp.sum(r_all * r_all) + smooth_cost(Q)
+            Jt = J_allT[nf:]
+            H = jnp.einsum("fir,fjr->fij", Jt, Jt)
+            g = jnp.einsum("fir,fr->fi", Jt, r_all[nf:]) + smooth_grad_X(Q)
+            if traj_term is not None:
+                r2, J2 = traj_term[1](Q, step_aux, params)
+                c = c + jnp.sum(r2 * r2)
+                H = H + jnp.einsum("fri,frj->fij", J2[nf:], J2[nf:])
+                g = g + jnp.einsum("fri,fr->fi", J2[nf:], r2[nf:])
+            return c, H, g
+
+        def solve_from(H, g, lam):
+            scale = jnp.maximum(
+                jax.vmap(jnp.diag)(H) + vel_diag[:, None], config.jitter
+            )
+            D = (
+                H
+                + vel_diag[:, None, None] * eye
+                + lam * jax.vmap(jnp.diag)(scale)
+                + config.jitter * eye
+            )
+            return -block_tridiag_solve(D, L_off, g)
+
+        def iteration_single(carry, _):
+            """Delayed-gratification LM: ONE residual/jac pass per
+            iteration. The pass at the trial point doubles as its
+            acceptance evaluation; on reject, re-solve from the stored
+            (H, g) of the accepted point with a larger lambda."""
+            X_try, X_acc, H_acc, g_acc, c_acc, lam, aux_prev = carry
+            step_aux = (
+                pre_iteration(assemble(X_try, qc_opt), params)
+                if pre_iteration is not None
+                else aux_prev
+            )
+            c_try, H_try, g_try = lin_at(X_try, step_aux)
+
+            accept = jnp.logical_and(c_try < c_acc, jnp.isfinite(c_try))
+            pick = lambda a, b: jnp.where(accept, a, b)
+            X_base = pick(X_try, X_acc)
+            H_base = jax.tree.map(pick, H_try, H_acc)
+            g_base = jax.tree.map(pick, g_try, g_acc)
+            c_base = pick(c_try, c_acc)
+            lam_new = jnp.clip(
+                jnp.where(accept, lam * config.lambda_decrease, lam * config.lambda_increase),
+                config.lambda_min,
+                config.lambda_max,
+            )
+            dX = solve_from(H_base, g_base, lam_new)
+            X_next = jnp.clip(X_base + dX, lo, hi)
+            return (X_next, X_base, H_base, g_base, c_base, lam_new, step_aux), None
+
         aux0 = (
             pre_iteration(assemble(X0, qc_opt), params)
             if pre_iteration is not None
             else None
         )
+        if config.single_pass:
+            big = jnp.asarray(jnp.inf, dtype)
+            H0 = jnp.zeros((F, n, n), dtype)
+            g0 = jnp.zeros((F, n), dtype)
+            init = (X0, X0, H0, g0, big, jnp.asarray(config.lambda_init, dtype), aux0)
+            (X_try, X_acc, _, _, c_acc, lam, step_aux), _ = jax.lax.scan(
+                iteration_single, init, None, length=config.iterations
+            )
+            Q = assemble(X_acc, qc_opt)
+            return Q, c_acc, {"lambda": lam, "step_aux": step_aux}
+
         c0 = residuals_cost(X0, qc_opt, aux0, params)
         init = (X0, jnp.asarray(config.lambda_init, dtype), c0, aux0)
         (X, lam, c, step_aux), _ = jax.lax.scan(

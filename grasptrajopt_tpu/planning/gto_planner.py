@@ -25,7 +25,7 @@ device program.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, NamedTuple, Optional
 
 import numpy as np
 
@@ -36,6 +36,22 @@ from grasptrajopt_tpu.fields.voxel_grid import VoxelGrid
 from grasptrajopt_tpu.opt.trajectory import TrajectoryConfig, make_trajectory_solver
 from grasptrajopt_tpu.planning.utils import interpolate_waypoints_jnp
 from grasptrajopt_tpu.spatial import invt, transform_points
+
+
+class PlannerSolvers(NamedTuple):
+    """Jitted solve programs for one (goal capacity, standoff) signature.
+
+    solve_one: single problem. solve_batch: vmapped batch, every param
+    batched (incl. per-problem field tables). solve_batch_shared: scene
+    params shared across the batch (one table). solve_batch_stacked:
+    per-problem fields STACKED into one flat (B*2S, 8) shared table +
+    per-problem `field_base` row offsets — per-problem scenes riding the
+    shared-gather code path (one flat gather instead of a batched one)."""
+
+    solve_one: callable
+    solve_batch: callable
+    solve_batch_shared: callable
+    solve_batch_stacked: callable
 
 
 class GTOPlanner:
@@ -53,7 +69,11 @@ class GTOPlanner:
         sdf_epsilon: float = 0.02,
         field_dtype=None,
         lm_alphas=None,
+        single_pass: bool = False,
     ):
+        # single_pass: one fused residual/jac pass per LM iteration
+        # (opt/trajectory.py TrajectoryConfig.single_pass)
+        self.single_pass = single_pass
         # trial-step scales per LM iteration; each candidate costs a full
         # residual pass (None = TrajectoryConfig default)
         self.lm_alphas = lm_alphas
@@ -208,7 +228,9 @@ class GTOPlanner:
                     # both packed fields live in ONE stacked (2S, 8) table
                     # (built once per solve in `run`); the per-step field
                     # choice is a row offset, so each point costs exactly
-                    # one contiguous 8-float gather
+                    # one contiguous 8-float gather. In the stacked-batch
+                    # path `field_base` additionally selects this problem's
+                    # slab of the batch-wide table.
                     from grasptrajopt_tpu.ops.interp import (
                         field_lookup_trilinear_packed_soa,
                     )
@@ -217,7 +239,7 @@ class GTOPlanner:
                     vals = field_lookup_trilinear_packed_soa(
                         params["packed_fields"], x, y, z,
                         jnp.asarray(g.origin, dtype), g.shape, g.resolution,
-                        row_offset=phase * g.size,
+                        row_offset=phase * g.size + params.get("field_base", 0),
                     )
                 else:
                     pts = jnp.stack([x, y, z], axis=-1)
@@ -264,6 +286,7 @@ class GTOPlanner:
             n_fixed=2,
             smooth_weight=0.01 / self.dt**2,
             iterations=self.iterations,
+            single_pass=self.single_pass,
             **cfg_kwargs,
         )
         traj_term = None
@@ -281,6 +304,7 @@ class GTOPlanner:
                 self.collision_avoidance
                 and self.obstacle_mode == "field"
                 and self.interp == "trilinear"
+                and "packed_fields" not in params
             ):
                 params = dict(params)
                 params["packed_fields"] = jnp.concatenate(
@@ -304,8 +328,38 @@ class GTOPlanner:
             return run(qc_opt, X0, {**params_per, **params_shared})
 
         solve_batch_shared = jax.jit(jax.vmap(run_shared, in_axes=(0, 0, 0, None)))
-        self._solvers[key] = (solve_one, solve_batch, solve_batch_shared)
+        # stacked per-problem fields: same code path as shared, but
+        # params_per carries "field_base" (b * 2S) and params_shared the
+        # concatenated (B*2S, 8) table — see pack_stacked_fields
+        solve_batch_stacked = solve_batch_shared
+        self._solvers[key] = PlannerSolvers(
+            solve_one, solve_batch, solve_batch_shared, solve_batch_stacked
+        )
         return self._solvers[key]
+
+    def pack_stacked_fields(self, sdf_cost_all_b, sdf_cost_obstacle_b):
+        """Pack B per-problem field pairs into ONE flat (B*2S, 8) corner
+        table + the (B,) per-problem base row offsets.
+
+        Feed the result to `solve_batch_stacked`:
+            tables, base = planner.pack_stacked_fields(all_b, obs_b)
+            solvers.solve_batch_stacked(qc_opt, X0,
+                {**params_per, "field_base": base}, {"packed_fields": tables})
+        """
+        g = self.robot.grid
+        dtype = self.field_dtype
+
+        def pack_pair(fa, fo):
+            return jnp.concatenate(
+                [g.pack(fa, dtype=dtype), g.pack(fo, dtype=dtype)], axis=0
+            )
+
+        tables = jax.vmap(pack_pair)(
+            jnp.asarray(sdf_cost_all_b), jnp.asarray(sdf_cost_obstacle_b)
+        )  # (B, 2S, 8)
+        B = tables.shape[0]
+        base = jnp.arange(B, dtype=jnp.int32) * (2 * g.size)
+        return tables.reshape(B * 2 * g.size, 8), base
 
     # -- warm starts ----------------------------------------------------------
 
@@ -417,7 +471,7 @@ class GTOPlanner:
         goal_mask = np.zeros(cap, dtype=bool)
         goal_mask[:n] = True
 
-        solve_one, _, _ = self.setup_optimization(cap, use_standoff, axis_standoff)
+        solve_one = self.setup_optimization(cap, use_standoff, axis_standoff).solve_one
 
         # Warm start (gto_planner.py:193-219)
         if q_solutions is None:
@@ -486,7 +540,7 @@ class GTOPlanner:
         """
         robot = self.robot
         cap = tf_goal.shape[1]
-        _, solve_batch, _ = self.setup_optimization(cap, use_standoff, axis_standoff)
+        solve_batch = self.setup_optimization(cap, use_standoff, axis_standoff).solve_batch
 
         ext_p = jax.vmap(lambda qq: robot.extract_parameter_dimensions(qq[:, None])[:, 0])
         ext_o = jax.vmap(lambda qq: robot.extract_optimized_dimensions(qq[:, None])[:, 0])

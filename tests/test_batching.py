@@ -21,10 +21,8 @@ from grasptrajopt_tpu.testing import (
 def setup():
     robot = make_synthetic_gto_robot(points_per_link=20)
     planner = GTOPlanner(robot, SYNTH_LINK_EE, SYNTH_LINK_GRIPPER, iterations=8)
-    solve_one, solve_batch, solve_batch_shared = planner.setup_optimization(
-        goal_size=2, use_standoff=True, axis_standoff="z"
-    )
-    return robot, planner, solve_one, solve_batch, solve_batch_shared
+    solvers = planner.setup_optimization(goal_size=2, use_standoff=True, axis_standoff="z")
+    return robot, planner, solvers.solve_one, solvers.solve_batch, solvers.solve_batch_shared
 
 
 def make_batch(robot, planner, B):
@@ -73,6 +71,57 @@ class TestSharedSceneEquivalence:
             params_b.update(shared)
             Q_1, c_1, _ = solve_one(qc_opt[b], X0[b], params_b)
             np.testing.assert_allclose(np.asarray(Q_b[b]), np.asarray(Q_1), atol=1e-5)
+
+    def test_stacked_fields_equal_batched(self, setup):
+        """Per-problem fields routed through the stacked shared-gather path
+        (one flat (B*2S, 8) table + per-problem row bases) must match the
+        plain batched path bit-for-bit in trajectory and cost."""
+        robot, planner, solve_one, solve_batch, _ = setup
+        solvers = planner.setup_optimization(
+            goal_size=2, use_standoff=True, axis_standoff="z"
+        )
+        B = 3
+        qc_opt, X0, per, _ = make_batch(robot, planner, B)
+        fields_all = np.stack(
+            [make_synthetic_scene_field(robot, seed=b) for b in range(B)]
+        )
+        fields_obs = np.stack(
+            [make_synthetic_scene_field(robot, seed=10 + b) for b in range(B)]
+        )
+        full = dict(per)
+        full["sdf_cost_all"] = jnp.asarray(fields_all)
+        full["sdf_cost_obstacle"] = jnp.asarray(fields_obs)
+        Q_a, c_a, _ = solve_batch(qc_opt, X0, full)
+
+        tables, base = planner.pack_stacked_fields(fields_all, fields_obs)
+        Q_b, c_b, _ = solvers.solve_batch_stacked(
+            qc_opt, X0, {**per, "field_base": base}, {"packed_fields": tables}
+        )
+        np.testing.assert_allclose(np.asarray(Q_a), np.asarray(Q_b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_a), np.asarray(c_b), rtol=1e-5)
+
+    def test_single_pass_planner_quality(self, setup):
+        """single_pass=True (one residual/jac evaluation per LM iteration)
+        must reach the same quality as the two-pass default given a modest
+        iteration bump."""
+        robot, planner, solve_one, *_ = setup
+        planner_sp = GTOPlanner(
+            robot, SYNTH_LINK_EE, SYNTH_LINK_GRIPPER, iterations=12, single_pass=True
+        )
+        solve_one_sp = planner_sp.setup_optimization(
+            goal_size=2, use_standoff=True, axis_standoff="z"
+        ).solve_one
+        qc_opt, X0, per, shared = make_batch(robot, planner, 1)
+        params = {k: v[0] for k, v in per.items()}
+        params.update(shared)
+        Q_a, c_a, _ = solve_one(qc_opt[0], X0[0], params)
+        Q_b, c_b, _ = solve_one_sp(qc_opt[0], X0[0], params)
+        assert np.isfinite(float(c_b))
+        # the goal-set cost landscape has a flat valley: gate on cost, not
+        # on the particular terminal configuration (measured: single-pass
+        # at 12 iters reaches a LOWER cost than two-pass at 8)
+        assert float(c_b) <= 1.05 * float(c_a) + 1e-6
+        assert np.isfinite(np.asarray(Q_b)).all()
 
     def test_plan_goalset_batch_api(self, setup):
         robot, planner, *_ = setup

@@ -172,6 +172,27 @@ class TestTrajectoryLM:
         np.testing.assert_allclose(np.asarray(Q[-1]), [0.3, -0.2], atol=5e-3)
         assert int(aux["step_aux"]) == 1
 
+    def test_single_pass_matches_two_pass(self):
+        """Delayed-gratification LM (single_pass=True) converges to the
+        same solution as the default accept-test iteration."""
+        T, n = 12, 2
+        w = 0.5
+
+        def res(q, t, aux, p):
+            is_last = (t == T - 1).astype(q.dtype)
+            return is_last * (q - p["target"])
+
+        lo, hi = -5 * jnp.ones(n), 5 * jnp.ones(n)
+        X0 = jnp.zeros((T - 2, n))
+        params = {"target": jnp.asarray([1.0, -0.7])}
+        cfg = TrajectoryConfig(T=T, smooth_weight=w, iterations=60)
+        Q_a, c_a, _ = make_trajectory_solver(res, cfg)(jnp.zeros(2), X0, lo, hi, params)
+        Q_b, c_b, _ = make_trajectory_solver(res, cfg._replace(single_pass=True))(
+            jnp.zeros(2), X0, lo, hi, params
+        )
+        np.testing.assert_allclose(np.asarray(Q_b), np.asarray(Q_a), atol=1e-3)
+        np.testing.assert_allclose(c_b, c_a, rtol=1e-3)
+
     def test_vmap_over_problems(self):
         T, n = 6, 2
 
