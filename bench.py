@@ -20,7 +20,10 @@ Knobs (env): BENCH_BATCH, BENCH_GOALS, BENCH_ITERS, BENCH_PPL, BENCH_REPS,
 BENCH_ROBOT (panda|fetch), BENCH_MODE (field|points), BENCH_SHARED,
 BENCH_STANDOFF (-0.1 tabletop / -0.2 shelf knob), BENCH_MESH (N>1: shard
 the batch over an N-device mesh via parallel/sharded — per-problem-fields
-mode), BENCH_QUALITY (0 to skip the quality pass).
+mode), BENCH_QUALITY (0 to skip the quality pass), BENCH_1PASS (0: classic
+two-pass LM iterations), BENCH_WARM (0: cold constant-pose warm start
+instead of the reference-style IK warm start), BENCH_STACKED (per-problem
+fields packed into one flat table riding the shared-gather path).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "quality"}.
 """
@@ -183,7 +186,10 @@ def main():
     lm_alphas = None
     if os.environ.get("BENCH_ALPHAS"):
         lm_alphas = tuple(float(a) for a in os.environ["BENCH_ALPHAS"].split(","))
-    single_pass = os.environ.get("BENCH_1PASS", "0") == "1"
+    # delayed-gratification LM: one residual/jac pass per iteration (same
+    # quality at the same iteration budget, ~1.4x throughput; measured in
+    # docs/PERF.md) — BENCH_1PASS=0 for the classic two-pass iteration
+    single_pass = os.environ.get("BENCH_1PASS", "1") == "1"
     stacked = os.environ.get("BENCH_STACKED", "0") == "1"
     planner = GTOPlanner(
         robot, link_ee, link_gripper, iterations=iterations, obstacle_mode=obstacle_mode,
@@ -218,6 +224,31 @@ def main():
     qc_opt = np.tile(qc[opt_idx], (batch, 1))
     q_param = np.tile(qc[par_idx], (batch, 1)) if par_idx else np.zeros((batch, 0), np.float32)
     X0 = np.tile(qc_opt[:, None, :], (1, planner.T - 2, 1))
+
+    if os.environ.get("BENCH_WARM", "1") == "1":
+        # IK warm starts, exactly the reference pipeline's structure (ranked
+        # IK seeds -> interpolated trajectory, pybullet_gto_planning.py:242-295;
+        # its reported planning_time likewise excludes ik_time). Without them
+        # a few cold-started basins pass through the slab — with them the
+        # quality gates hold at 0 collisions (docs/PERF.md).
+        from grasptrajopt_tpu.planning.ik_solver import IKSolver
+        from grasptrajopt_tpu.planning.utils import interpolate_waypoints_jnp
+
+        ik = IKSolver(robot, link_ee, link_gripper, collision_avoidance=False)
+        qsol, ik_pos, ik_rot, _ = ik.solve_ik_batch(
+            np.tile(qc, (batch * goal_capacity, 1)), tf_goal.reshape(-1, 4, 4)
+        )
+        err = (ik_pos + 2e-3 * ik_rot).reshape(batch, goal_capacity)
+        q_best = qsol.reshape(batch, goal_capacity, -1)[
+            np.arange(batch), np.argmin(err, axis=1)
+        ]
+        X0 = np.asarray(
+            jax.vmap(
+                lambda qb: interpolate_waypoints_jnp(
+                    jnp.asarray(qc), qb, planner.T - 2
+                )
+            )(jnp.asarray(q_best, np.float32))
+        )[..., opt_idx]
 
     params = {
         "q_param": jnp.asarray(q_param),

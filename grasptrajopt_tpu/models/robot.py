@@ -97,8 +97,17 @@ class RobotModel(Model):
         T: Optional[int] = None,
         param_joints: Sequence[str] = (),
         dtype=jnp.float32,
+        xacro_filename: Optional[str] = None,
     ):
-        if urdf_filename is not None:
+        if xacro_filename is not None or (
+            urdf_filename is not None and urdf_filename.endswith(".xacro")
+        ):
+            # xacro -> URDF preprocessing (parity: optas/models.py:261-267)
+            from grasptrajopt_tpu.models.xacro import process_xacro_file
+
+            self.urdf_filename = xacro_filename or urdf_filename
+            self.urdf = parse_urdf_string(process_xacro_file(self.urdf_filename))
+        elif urdf_filename is not None:
             self.urdf_filename = urdf_filename
             self.urdf = parse_urdf_file(urdf_filename)
         elif urdf_string is not None:

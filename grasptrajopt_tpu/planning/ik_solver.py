@@ -54,7 +54,7 @@ class IKSolver:
         self.gripper_points = jnp.asarray(
             robot.surface_pc_map[link_gripper].points, robot.dtype
         )
-        self._solver = None
+        self._solve_one = None
         self._grid: Optional[VoxelGrid] = None
 
     # -- problem construction -------------------------------------------------
@@ -190,6 +190,8 @@ class IKSolver:
         with the reference's error metrics (gto/ik_solver.py:93-110).
         With multistart=True, `num_seeds` random restarts run as one vmapped
         batch and the lowest-cost solution is returned."""
+        if self._solve_one is None:
+            self.setup_optimization()
         robot = self.robot
         q_0 = jnp.asarray(q_0, robot.dtype).reshape(-1)
         q_param = robot.extract_parameter_dimensions(q_0[:, None])[:, 0]
@@ -234,6 +236,8 @@ class IKSolver:
         This replaces the reference's per-grasp Ipopt loop
         (pybullet_gto_planning.py:251-278).
         """
+        if self._solve_one is None:
+            self.setup_optimization()
         robot = self.robot
         dtype = robot.dtype
         RTs = jnp.asarray(RTs, dtype)
