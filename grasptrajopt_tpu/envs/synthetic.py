@@ -348,9 +348,13 @@ class SyntheticSceneEnv:
             target = [float(self.SHELF_POS[0]) - 0.12, 0.0, float(self.SHELF_POS[2]) + 0.12]
         return look_at_pose(eye, target)
 
-    def get_observation(self):
+    def get_observation(self, cam_pose: Optional[np.ndarray] = None):
         """(depth, mask, cam_pose, K): depth in meters, mask = per-pixel
         object uid (-1 background, negative ids furniture).
+
+        `cam_pose` overrides the default head camera — the mobile driver
+        renders from the robot's moving base (look_at parity:
+        pybullet_api.py:364-383).
 
         Background pixels get the FAR depth (10 m, PyBullet's far plane,
         pybullet_scenereplica.py:124): the visibility sign test of
@@ -360,7 +364,8 @@ class SyntheticSceneEnv:
         for p in self.objects:
             if p.active:
                 meshes.append((p.obj.mesh, p.pose, p.uid))
-        cam_pose = self.camera_pose()
+        if cam_pose is None:
+            cam_pose = self.camera_pose()
         depth, ids = render_depth(
             meshes, cam_pose, self.K, self.width, self.height, background_depth=10.0
         )
