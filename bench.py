@@ -266,7 +266,16 @@ def main():
         )
         table_pts = np.stack([xs.ravel(), ys.ravel(), np.full(xs.size, SLAB_Z[1])], axis=1)
         table_nrm = np.tile([0.0, 0.0, 1.0], (table_pts.shape[0], 1))
-        scene = downsample_scene(table_pts, table_nrm, capacity=scene_capacity, resolution=0.02)
+        # voxel size must scale with the point budget or the downsample
+        # silently truncates coverage (BENCH_SCENE_PTS=512 at 0.02 m kept
+        # only a corner of the slab and quality collapsed): the slab needs
+        # area/res^2 <= capacity. The reference itself quantizes scene
+        # geometry to 0.05 m (gto_models.py:45), so coarse is faithful.
+        slab_area = (SLAB_X[1] - SLAB_X[0]) * (SLAB_Y[1] - SLAB_Y[0])
+        scene_res = max(0.02, 1.05 * float(np.sqrt(slab_area / scene_capacity)))
+        scene = downsample_scene(
+            table_pts, table_nrm, capacity=scene_capacity, resolution=scene_res
+        )
         target = downsample_scene(
             table_pts[:64] + [0, 0, 0.05], table_nrm[:64], capacity=256, resolution=0.02
         )

@@ -186,6 +186,54 @@ class Visualizer:
         for i in range(n):
             self.robot(robot_model, Q[:, i], alpha=float(alphas[i]), **kwargs)
 
+    def animate(
+        self,
+        robot_model,
+        Q,
+        file_name: Optional[str] = None,
+        fps: int = 10,
+        callback=None,
+        **kwargs,
+    ):
+        """Animate a joint trajectory Q (ndof, n): the robot re-renders at
+        each column on top of the static scene drawn so far (parity: the
+        VTK viewer's timer AnimationCallback, optas/visualize.py:44-77,
+        which re-poses robot actors per tick).
+
+        `callback(vis, i, q)` runs per frame for extra per-step drawing.
+        With `file_name` the frames are written as an animated .gif
+        (Pillow writer; always available with matplotlib) — the headless
+        stand-in for the interactive loop. Returns the RGB frames."""
+        Q = np.asarray(Q)
+        self._finalize_axes()
+        frames = []
+        for i in range(Q.shape[1]):
+            n_coll = len(self.ax.collections)
+            n_lines = len(self.ax.lines)
+            bounds_len = len(self._bounds)
+            self.robot(robot_model, Q[:, i], **kwargs)
+            if callback is not None:
+                callback(self, i, Q[:, i])
+            self.fig.canvas.draw()
+            buf = np.asarray(self.fig.canvas.buffer_rgba())[..., :3]
+            frames.append(buf.copy())
+            # drop this frame's dynamic artists, keep the static scene
+            for artist in list(self.ax.collections[n_coll:]) + list(self.ax.lines[n_lines:]):
+                artist.remove()
+            del self._bounds[bounds_len:]
+        if file_name is not None:
+            from PIL import Image
+
+            imgs = [Image.fromarray(f) for f in frames]
+            imgs[0].save(
+                file_name,
+                save_all=True,
+                append_images=imgs[1:],
+                duration=int(1000 / fps),
+                loop=0,
+            )
+        return frames
+
     # -- output ---------------------------------------------------------------
 
     def _finalize_axes(self):

@@ -50,6 +50,31 @@ def test_robot_rendering(tmp_path, data_dir):
     vis.close()
 
 
+def test_animate_gif(tmp_path):
+    from grasptrajopt_tpu.models import RobotModel
+
+    urdf = """
+    <robot name="stick"><link name="a"/><link name="b"/>
+      <joint name="j" type="revolute"><parent link="a"/><child link="b"/>
+      <origin xyz="0 0 1"/><axis xyz="0 1 0"/>
+      <limit lower="-1" upper="1" velocity="1"/></joint></robot>
+    """
+    robot = RobotModel(urdf_string=urdf, dtype=jnp.float64)
+    vis = Visualizer()
+    vis.grid_floor()
+    Q = np.linspace(-0.5, 0.5, 4)[None, :]
+    seen = []
+    out = tmp_path / "traj.gif"
+    frames = vis.animate(
+        robot, Q, file_name=str(out), fps=5, callback=lambda v, i, q: seen.append(i)
+    )
+    assert len(frames) == 4 and seen == [0, 1, 2, 3]
+    assert frames[0].ndim == 3 and frames[0].shape[2] == 3
+    # dynamic artists are dropped between frames: the axes end clean
+    assert out.exists() and out.stat().st_size > 500
+    vis.close()
+
+
 def test_skeleton_fallback(tmp_path):
     from grasptrajopt_tpu.models import RobotModel
 
