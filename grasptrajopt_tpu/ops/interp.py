@@ -20,7 +20,39 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
+from jax import custom_batching
+
+
+@custom_batching.custom_vmap
+def packed_rows_gather(packed, offs):
+    """Row gather `packed[offs]` with a batching rule tuned for TPU.
+
+    Under vmap with PER-PROBLEM tables, one giant batched gather runs far
+    below the small-table rate (the (B, 2S, 8) working set is ~150 MB;
+    docs/PERF.md round-2 probe: 66 ms vs 39 ms for the same 1.9M rows), so
+    the rule lowers to `lax.map` — B sequential gathers, each against one
+    small table. With a SHARED (unbatched) table the plain flat gather is
+    already the fast path and is kept.
+
+    NOTE: no autodiff support is needed — the gathered rows are constants
+    w.r.t. positions (derivatives flow through the interpolation weights),
+    and callers use the closed-form gradient (`packed_lookup_soa_grad`).
+    """
+    return packed[offs]
+
+
+@packed_rows_gather.def_vmap
+def _packed_rows_gather_vmap(axis_size, in_batched, packed, offs):
+    packed_b, offs_b = in_batched
+    if not packed_b:
+        # shared table: one flat gather over the batched offsets
+        return packed[offs], offs_b
+    if not offs_b:
+        offs = jnp.broadcast_to(offs, (axis_size,) + offs.shape)
+    rows = jax.lax.map(lambda po: po[0][po[1]], (packed, offs))
+    return rows, True
 
 
 def points_to_offsets(points, origin, shape: Tuple[int, int, int], resolution):
@@ -183,6 +215,69 @@ def field_lookup_trilinear_packed_soa(
         axis=-1,
     )
     return jnp.sum(rows * w, axis=-1)
+
+
+def field_lookup_packed_soa_grad(
+    packed, x, y, z, origin, shape, resolution, row_offset=0
+):
+    """Packed trilinear lookup returning (value, d/dx, d/dy, d/dz) in
+    CLOSED FORM from one row gather per query.
+
+    The spatial gradient is the interpolation-weight derivative contracted
+    with the same gathered corner rows — no autodiff pass and no second
+    gather. Matches jacfwd of `field_lookup_trilinear_packed_soa`: outside
+    the grid the clamped frac saturates and the gradient is zero (the
+    jnp.clip derivative), at the clamp the floor() indexing contributes
+    nothing (reference parity: the CasADi floor's zero derivative,
+    gto/sdf_callback.py — here only the CONTINUOUS part carries gradient,
+    which is the exact piecewise-trilinear derivative).
+
+    The gather routes through `packed_rows_gather`, whose vmap rule keeps
+    per-problem tables on the fast sequential-small-gather path.
+    """
+    packed = jnp.asarray(packed)
+    origin = jnp.asarray(origin).reshape(3)
+    ox, oy, oz = origin[0], origin[1], origin[2]
+    inv = jnp.asarray(1.0 / resolution, x.dtype)
+    ux = (x - ox) * inv
+    uy = (y - oy) * inv
+    uz = (z - oz) * inv
+    bx = jnp.clip(jnp.floor(ux).astype(jnp.int32), 0, shape[0] - 2)
+    by = jnp.clip(jnp.floor(uy).astype(jnp.int32), 0, shape[1] - 2)
+    bz = jnp.clip(jnp.floor(uz).astype(jnp.int32), 0, shape[2] - 2)
+    rx = ux - bx
+    ry = uy - by
+    rz = uz - bz
+    fx = jnp.clip(rx, 0.0, 1.0)
+    fy = jnp.clip(ry, 0.0, 1.0)
+    fz = jnp.clip(rz, 0.0, 1.0)
+    # clip derivative: 1 on [0, 1], 0 outside (matches jacfwd through clip)
+    mx = ((rx >= 0.0) & (rx <= 1.0)).astype(x.dtype) * inv
+    my = ((ry >= 0.0) & (ry <= 1.0)).astype(x.dtype) * inv
+    mz = ((rz >= 0.0) & (rz <= 1.0)).astype(x.dtype) * inv
+
+    offs = bz + shape[2] * (by + shape[1] * bx) + row_offset
+    rows = packed_rows_gather(packed, offs)  # (..., 8)
+    if rows.dtype != x.dtype:
+        rows = rows.astype(x.dtype)
+    c000, c001, c010, c011, c100, c101, c110, c111 = [
+        rows[..., i] for i in range(8)
+    ]
+    # interpolate z first, then y, then x; keep the partial reductions so
+    # each axis derivative reuses them
+    c00 = c000 * (1 - fz) + c001 * fz
+    c01 = c010 * (1 - fz) + c011 * fz
+    c10 = c100 * (1 - fz) + c101 * fz
+    c11 = c110 * (1 - fz) + c111 * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    val = c0 * (1 - fx) + c1 * fx
+    gx = (c1 - c0) * mx
+    gy = ((c01 - c00) * (1 - fx) + (c11 - c10) * fx) * my
+    dz0 = (c001 - c000) * (1 - fy) + (c011 - c010) * fy
+    dz1 = (c101 - c100) * (1 - fy) + (c111 - c110) * fy
+    gz = (dz0 * (1 - fx) + dz1 * fx) * mz
+    return val, gx, gy, gz
 
 
 def points_to_offsets_2d(points_xy, origin, shape: Tuple[int, int], resolution):

@@ -62,7 +62,12 @@ class OptimizationBuilder:
                     self.add_decision_variables(model.state_optimized_name(d), model.num_opt_joints, t)
                     self.add_parameter(model.state_parameter_name(d), model.num_param_joints, t)
                 else:
-                    self.add_decision_variables(model.state_optimized_name(d), model.dim, t)
+                    # TaskModel may declare integer-valued states
+                    # (parity: builder.py:100 passes model.is_discrete)
+                    self.add_decision_variables(
+                        model.state_optimized_name(d), model.dim, t,
+                        is_discrete=getattr(model, "is_discrete", False),
+                    )
 
     # -- model access ---------------------------------------------------------
 
@@ -97,8 +102,10 @@ class OptimizationBuilder:
 
     # -- variable/parameter/cost registration ---------------------------------
 
-    def add_decision_variables(self, name: str, m: int, n: int = 1) -> None:
-        self.x_layout.add(name, m, n)
+    def add_decision_variables(self, name: str, m: int, n: int = 1, is_discrete: bool = False) -> None:
+        """Register a decision block; is_discrete marks it integer-valued
+        (parity: builder.py:248-261 -> sx_container.variable_is_discrete)."""
+        self.x_layout.add(name, m, n, discrete=is_discrete)
 
     def add_parameter(self, name: str, m: int, n: int = 1) -> None:
         self.p_layout.add(name, m, n)

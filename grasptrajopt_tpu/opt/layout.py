@@ -21,11 +21,35 @@ import jax.numpy as jnp
 class BlockLayout:
     def __init__(self):
         self.shapes: "OrderedDict[str, Tuple[int, int]]" = OrderedDict()
+        # per-block discreteness (parity: sx_container.py:21-66 is_discrete)
+        self.is_discrete: Dict[str, bool] = {}
 
-    def add(self, name: str, rows: int, cols: int = 1) -> None:
+    def add(self, name: str, rows: int, cols: int = 1, discrete: bool = False) -> None:
         if name in self.shapes:
             raise KeyError(f"block '{name}' already exists")
         self.shapes[name] = (int(rows), int(cols))
+        self.is_discrete[name] = bool(discrete)
+
+    def variable_is_discrete(self, name: str) -> None:
+        """Mark an existing block as integer-valued
+        (parity: sx_container.py:57-63)."""
+        if name not in self.shapes:
+            raise KeyError(name)
+        self.is_discrete[name] = True
+
+    def has_discrete_variables(self) -> bool:
+        """Parity: sx_container.py:65-70."""
+        return any(self.is_discrete.values())
+
+    def discrete_mask(self) -> np.ndarray:
+        """Flat (size,) bool mask over the vec() ordering: True where the
+        coordinate belongs to a discrete block."""
+        parts = []
+        for name, (r, c) in self.shapes.items():
+            parts.append(np.full(r * c, self.is_discrete.get(name, False)))
+        if not parts:
+            return np.zeros(0, dtype=bool)
+        return np.concatenate(parts)
 
     def __contains__(self, name: str) -> bool:
         return name in self.shapes

@@ -150,6 +150,17 @@ class ALSQPSolver(Solver):
 
     def _solve_vec(self):
         x, info = self._jit_solver(self._x0, self._lo, self._hi, self._p)
+        if self.opt.has_discrete_variables:
+            # MINLP slot (parity surface: optimization.py:533
+            # MixedIntegerNonlinearCost...; the reference never ships a MINLP
+            # backend — here: relax -> round discrete coords -> polish the
+            # continuous coords with the discrete ones pinned by their box)
+            mask = jnp.asarray(self.opt.discrete_mask())
+            x_round = jnp.where(mask, jnp.round(x), x)
+            x_round = jnp.clip(x_round, self._lo, self._hi)
+            lo2 = jnp.where(mask, x_round, self._lo)
+            hi2 = jnp.where(mask, x_round, self._hi)
+            x, info = self._jit_solver(x_round, lo2, hi2, self._p)
         self._stats = {
             "constraint_violation": float(info["constraint_violation"]),
             "f": float(info["f"]),

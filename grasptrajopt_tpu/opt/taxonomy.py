@@ -120,16 +120,29 @@ class Optimization:
                 return False
         return True
 
+    # -- discrete (integer) decision variables --------------------------------
+
+    @property
+    def has_discrete_variables(self) -> bool:
+        """Parity: optimization.py:308-309."""
+        return self.x_layout.has_discrete_variables()
+
+    def discrete_mask(self) -> np.ndarray:
+        """(nx,) bool mask over the flat decision vector."""
+        return self.x_layout.discrete_mask()
+
     @property
     def problem_class(self) -> str:
-        """Mirror of the reference's dispatch (builder.py:546-636)."""
+        """Mirror of the reference's dispatch (builder.py:546-636; the
+        MixedInteger prefix mirrors builder.py:560-601)."""
         quad = self.cost_is_quadratic()
         has_con = bool(self.eq_constraints or self.ineq_constraints)
         lin = self.constraints_are_linear() if has_con else True
         cost = "QuadraticCost" if quad else "NonlinearCost"
+        prefix = "MixedInteger" if self.has_discrete_variables else ""
         if not has_con:
-            return cost + "Unconstrained"
-        return cost + ("LinearConstraints" if lin else "NonlinearConstraints")
+            return prefix + cost + "Unconstrained"
+        return prefix + cost + ("LinearConstraints" if lin else "NonlinearConstraints")
 
     # -- QP materialization (Jacobian-at-zero trick) -------------------------
 

@@ -15,9 +15,29 @@ def distributed_init(coordinator: Optional[str] = None, num_processes: Optional[
     On TPU pods the arguments are auto-detected from the environment; this
     is the DCN-side counterpart of the reference's absent NCCL/MPI layer
     (SURVEY.md §2.3).
+
+    Call with explicit (coordinator, num_processes, process_id) for manual
+    setups; with no arguments it auto-detects from the cluster environment
+    (TPU pod metadata / JAX_COORDINATOR_ADDRESS et al.) and stays a no-op
+    on a plain single host.
     """
-    if num_processes is not None and num_processes > 1:
-        jax.distributed.initialize(coordinator, num_processes, process_id)
+    if num_processes is not None:
+        if num_processes > 1:
+            jax.distributed.initialize(coordinator, num_processes, process_id)
+        return
+    import os
+
+    if coordinator is not None or any(
+        os.environ.get(k)
+        for k in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "TPU_WORKER_HOSTNAMES",
+        )
+    ):
+        # multi-host cluster: let jax auto-detect everything not given
+        jax.distributed.initialize(coordinator_address=coordinator)
 
 
 def data_mesh(n_devices: Optional[int] = None, axis_name: str = "dp") -> Mesh:

@@ -70,7 +70,16 @@ class GTOPlanner:
         field_dtype=None,
         lm_alphas=None,
         single_pass: bool = False,
+        field_term: bool = True,
     ):
+        # field_term: evaluate the trilinear-field obstacle cost as a
+        # WHOLE-TRAJECTORY term with closed-form spatial gradients
+        # (ops.interp.field_lookup_packed_soa_grad) instead of rows inside
+        # the per-step jacfwd residual. Numerically identical; the gather
+        # then rides packed_rows_gather, whose vmap rule keeps PER-PROBLEM
+        # field tables on the fast sequential-small-gather path
+        # (docs/PERF.md round-2 probe: 39 ms vs 66 ms per 1.9M-row pass).
+        self.field_term = field_term
         # single_pass: one fused residual/jac pass per LM iteration
         # (opt/trajectory.py TrajectoryConfig.single_pass)
         self.single_pass = single_pass
@@ -214,13 +223,70 @@ class GTOPlanner:
             J = jnp.einsum("tp,tpc,tpcn->tpn", drdsd, dirs, J_pts)
             return r, J
 
+        use_field_term = (
+            self.collision_avoidance
+            and self.obstacle_mode == "field"
+            and self.interp == "trilinear"
+            and self.field_term
+        )
+        phase_row = (jnp.arange(T) >= t_standoff).astype(jnp.int32)[:, None]  # (T,1)
+
+        def _field_vals_grads(params, x, y, z):
+            """(val, gx, gy, gz) of the phase-selected stacked field at SoA
+            points (T, P) — one row gather per query via the batch-aware
+            packed_rows_gather."""
+            from grasptrajopt_tpu.ops.interp import field_lookup_packed_soa_grad
+
+            return field_lookup_packed_soa_grad(
+                params["packed_fields"], x, y, z,
+                jnp.asarray(g.origin, dtype), g.shape, g.resolution,
+                row_offset=phase_row * g.size + params.get("field_base", 0),
+            )
+
+        def field_term_value(Q_opt, step_aux, params):
+            q_param_b = jnp.broadcast_to(params["q_param"], (T,) + params["q_param"].shape)
+            Qf = jax.vmap(robot.assemble_q)(Q_opt, q_param_b)
+            x, y, z = robot.surface_points_soa(
+                robot.fk_components(Qf), params["base_position"]
+            )  # (T, P) each
+            val, _, _, _ = _field_vals_grads(params, x, y, z)
+            return sqrt10 * val  # (T, P)
+
+        def field_term_value_jac(Q_opt, step_aux, params):
+            # ONE shared FK trace yields surface points AND their joint
+            # Jacobians (jacfwd has_aux, as in opt/trajectory.py step_lin);
+            # the field's spatial gradient is closed-form from the same
+            # gathered corner rows as the value.
+            def one(q_opt):
+                def f(qq):
+                    q_full = robot.assemble_q(qq, params["q_param"])
+                    xx, yy, zz = robot.surface_points_soa(
+                        robot.fk_components(q_full), params["base_position"]
+                    )
+                    out = jnp.stack([xx, yy, zz], axis=-1)  # (P, 3)
+                    return out, out
+
+                J, p = jax.jacfwd(f, has_aux=True)(q_opt)  # (P,3,n), (P,3)
+                return p, J
+
+            pts, J_pts = jax.vmap(one)(Q_opt)  # (T,P,3), (T,P,3,n)
+            val, gx, gy, gz = _field_vals_grads(
+                params, pts[..., 0], pts[..., 1], pts[..., 2]
+            )
+            r = sqrt10 * val  # (T, P)
+            grad = jnp.stack([gx, gy, gz], axis=-1)  # (T, P, 3)
+            J = sqrt10 * jnp.einsum("tpc,tpcn->tpn", grad, J_pts)
+            return r, J
+
         def step_residual(q_opt, t, goal_idx, params):
             # component-form FK once per step: layout-clean scalars feed the
             # obstacle term (SoA) AND the two goal-frame matrices
             q_full = robot.assemble_q(q_opt, params["q_param"])
             comps = robot.fk_components(q_full)
             parts = []
-            if self.collision_avoidance and self.obstacle_mode == "field":
+            if use_field_term:
+                pass  # obstacle handled by the whole-trajectory field term
+            elif self.collision_avoidance and self.obstacle_mode == "field":
                 x, y, z = robot.surface_points_soa(comps, params["base_position"])
                 # standoff phase (t < T-10) uses the full field; the final
                 # approach uses the target-free field (gto_planner.py:117-131)
@@ -292,6 +358,8 @@ class GTOPlanner:
         traj_term = None
         if self.collision_avoidance and self.obstacle_mode == "points":
             traj_term = (obstacle_term_value, obstacle_term_value_jac)
+        elif use_field_term:
+            traj_term = (field_term_value, field_term_value_jac)
         solver = make_trajectory_solver(
             step_residual, cfg, pre_iteration=pre_iteration, traj_term=traj_term
         )

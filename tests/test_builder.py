@@ -80,6 +80,45 @@ class TestBuilderAllocation:
         assert b.x_layout.shapes["base_pose/y/x"] == (3, 4)
 
 
+class TestDiscreteVariables:
+    """MINLP slot (parity surface: optimization.py:308-309, :533;
+    sx_container.py is_discrete flags; builder.py:248-261)."""
+
+    def _build(self):
+        task = TaskModel("slot", dim=2, is_discrete=True)
+        b = OptimizationBuilder(T=1, tasks=[task])
+        b.add_decision_variables("shift", 1, is_discrete=False)
+        target = np.array([2.3, -0.6])
+        b.add_cost_term(
+            "fit",
+            lambda x, p: jnp.sum((x["slot/y/x"].reshape(-1) - target) ** 2)
+            + (x["shift"].reshape(()) - 0.25) ** 2,
+        )
+        return b.build()
+
+    def test_layout_and_classification(self):
+        opt = self._build()
+        assert opt.has_discrete_variables
+        mask = opt.discrete_mask()
+        assert mask.sum() == 2 and mask.size == 3
+        assert opt.problem_class.startswith("MixedInteger")
+        # continuous-only problems keep the plain class names
+        b2 = OptimizationBuilder(T=1, tasks=[TaskModel("y", dim=1)])
+        b2.add_cost_term("c", lambda x, p: jnp.sum(x["y/y/x"] ** 2))
+        assert not b2.build().has_discrete_variables
+        assert "MixedInteger" not in b2.build().problem_class
+
+    def test_alsqp_relax_round_polish(self):
+        opt = self._build()
+        solver = ALSQPSolver(opt).setup()
+        sol = solver.solve()
+        slot = np.asarray(sol["slot/y/x"]).reshape(-1)
+        # discrete coords land exactly on integers, at the nearest ones
+        np.testing.assert_allclose(slot, [2.0, -1.0], atol=1e-8)
+        # the continuous coordinate is polished to its own optimum
+        np.testing.assert_allclose(float(np.asarray(sol["shift"]).reshape(())), 0.25, atol=1e-6)
+
+
 class TestProblemClassification:
     def test_quadratic_linear(self):
         b = OptimizationBuilder(T=1)

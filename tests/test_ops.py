@@ -127,6 +127,56 @@ class TestFieldLookup:
         b = field_lookup_trilinear_packed(packed, jnp.asarray(pts), self.origin, self.shape, self.res)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
 
+    def test_packed_soa_grad_closed_form_matches_jacfwd(self):
+        """field_lookup_packed_soa_grad == (value, jacfwd) of the packed
+        SoA lookup — interior AND clamped exterior points."""
+        from grasptrajopt_tpu.ops.interp import (
+            field_lookup_packed_soa_grad,
+            field_lookup_trilinear_packed_soa,
+            pack_corners,
+        )
+
+        packed = pack_corners(self.flat, self.shape)
+        pts = jnp.asarray(RNG.uniform(-0.5, 1.2, size=(300, 3)))
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        val, gx, gy, gz = field_lookup_packed_soa_grad(
+            packed, x, y, z, self.origin, self.shape, self.res
+        )
+        want = field_lookup_trilinear_packed_soa(
+            packed, x, y, z, self.origin, self.shape, self.res
+        )
+        np.testing.assert_allclose(np.asarray(val), np.asarray(want), atol=1e-12)
+
+        def f(px, py, pz):
+            return field_lookup_trilinear_packed_soa(
+                packed, px, py, pz, self.origin, self.shape, self.res
+            ).sum()
+
+        wgx, wgy, wgz = jax.grad(f, argnums=(0, 1, 2))(x, y, z)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(wgx), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(gy), np.asarray(wgy), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(gz), np.asarray(wgz), atol=1e-9)
+
+    def test_packed_rows_gather_vmap_rules(self):
+        """The custom_vmap gather matches plain gathers for per-problem
+        (batched) and shared (unbatched) tables."""
+        from grasptrajopt_tpu.ops.interp import packed_rows_gather
+
+        B, S = 3, 720
+        tables = jnp.asarray(RNG.normal(size=(B, S, 8)))
+        offs = jnp.asarray(RNG.integers(0, S, size=(B, 500)))
+        # per-problem: vmap over both args -> lax.map path
+        got = jax.vmap(packed_rows_gather)(tables, offs)
+        want = jnp.stack([tables[b][offs[b]] for b in range(B)])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+        # shared table: vmap with in_axes=(None, 0) -> flat gather path
+        got2 = jax.vmap(packed_rows_gather, in_axes=(None, 0))(tables[0], offs)
+        want2 = jnp.stack([tables[0][offs[b]] for b in range(B)])
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=0)
+        # unbatched call
+        got3 = packed_rows_gather(tables[0], offs[0])
+        np.testing.assert_allclose(np.asarray(got3), np.asarray(tables[0][offs[0]]), atol=0)
+
     def test_packed_trilinear_gradient_matches(self):
         import jax
 

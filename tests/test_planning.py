@@ -203,6 +203,47 @@ class TestGTOPlanner:
         assert err < 0.02, f"picked wrong goal? err={err}"
 
 
+class TestFieldTermEquivalence:
+    def test_traj_term_matches_step_residual_path(self, panda):
+        """The whole-trajectory field term (closed-form gradients through
+        packed_rows_gather) must reproduce the per-step jacfwd path on a
+        problem where the obstacle cost is ACTIVE (slab field under the
+        grasp approach)."""
+        robot, cfg = panda
+        qc = PANDA_DEFAULT.copy()
+
+        # eps-band cost of a table slab below the grasp
+        pts = robot.grid.grid_points().astype(np.float64)
+        d = pts[:, 2] - 0.12  # slab top at z=0.12
+        eps = 0.02
+        cost = np.zeros(len(pts))
+        cost[d <= 0] = -d[d <= 0] + eps / 2
+        band = (d > 0) & (d < eps)
+        cost[band] = np.square(d[band] - eps) / (2 * eps)
+        field = cost.astype(np.float64)
+
+        ik = IKSolver(robot, cfg["link_ee"], cfg["link_gripper"])
+        ik.setup_optimization()
+        q_sol, *_ = ik.solve_ik(qc, PANDA_RT, np.zeros_like(field), [0, 0, 0], verbose=False)
+
+        results = {}
+        for mode in (True, False):
+            planner = GTOPlanner(
+                robot, cfg["link_ee"], cfg["link_gripper"], field_term=mode
+            )
+            Q, dQ, c = planner.plan_goalset(
+                qc, PANDA_RT[None], field, field, [0, 0, 0],
+                q_solutions=q_sol.reshape(-1, 1),
+                use_standoff=True, axis_standoff=cfg["axis_standoff"],
+            )
+            results[mode] = (np.asarray(Q), float(np.asarray(c).reshape(-1)[0]))
+
+        Q_term, c_term = results[True]
+        Q_step, c_step = results[False]
+        np.testing.assert_allclose(c_term, c_step, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(Q_term, Q_step, atol=1e-5)
+
+
 class TestFetchPlanner:
     """End-to-end IK + trajectory planning on Fetch: 15 DoF with 8
     parameter joints — the reference's hardest bookkeeping case
