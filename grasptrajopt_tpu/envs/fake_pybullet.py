@@ -177,35 +177,36 @@ class _Body:
         body.base_pose = _origin_tf(base_pos, (0, 0, 0))
         body.base_pose[:3, :3] = _quat_xyzw_to_mat(base_orn_xyzw)
 
+        # pybullet numbers joints by DEPTH-FIRST traversal of the link tree
+        # (children in file order), NOT by file order — the reference's
+        # hardcoded indices (Fetch ee_index=16, camera=7; Panda ee=7,
+        # camera=10, envs/pybullet_api.py) only line up under DFS.
+        children: Dict[str, list] = {}
+        for j in body.urdf.joints:
+            children.setdefault(j.parent, []).append(j)
         link_index = {body.urdf.get_root(): -1}
-        # keep URDF file order; resolve parents as they appear (URDF trees
-        # are written parent-first in practice, matching pybullet's order)
-        pending = list(body.urdf.joints)
-        while pending:
-            progressed = False
-            rest = []
-            for j in pending:
-                if j.parent in link_index:
-                    idx = len(body.joint_names)
-                    body.joint_names.append(j.name)
-                    body.joint_types.append(_TYPE_CODE.get(j.type, JOINT_FIXED))
-                    body.joint_parent_link.append(link_index[j.parent])
-                    body.joint_axes.append(np.asarray(j.axis, dtype=float))
-                    body.joint_origins.append(_origin_tf(j.xyz, j.rpy))
-                    lim = j.limit
-                    lo = lim.lower if lim and lim.lower is not None else -1e9
-                    hi = lim.upper if lim and lim.upper is not None else 1e9
-                    vmax = lim.velocity if lim and lim.velocity else 1.0
-                    body.joint_limits.append((float(lo), float(hi)))
-                    body.joint_maxvel.append(float(vmax))
-                    body.link_names.append(j.child)
-                    link_index[j.child] = idx
-                    progressed = True
-                else:
-                    rest.append(j)
-            if not progressed:
-                raise ValueError(f"URDF joint tree disconnected in {filename}")
-            pending = rest
+
+        def _add_subtree(link_name: str) -> None:
+            for j in children.get(link_name, []):
+                idx = len(body.joint_names)
+                body.joint_names.append(j.name)
+                body.joint_types.append(_TYPE_CODE.get(j.type, JOINT_FIXED))
+                body.joint_parent_link.append(link_index[j.parent])
+                body.joint_axes.append(np.asarray(j.axis, dtype=float))
+                body.joint_origins.append(_origin_tf(j.xyz, j.rpy))
+                lim = j.limit
+                lo = lim.lower if lim and lim.lower is not None else -1e9
+                hi = lim.upper if lim and lim.upper is not None else 1e9
+                vmax = lim.velocity if lim and lim.velocity else 1.0
+                body.joint_limits.append((float(lo), float(hi)))
+                body.joint_maxvel.append(float(vmax))
+                body.link_names.append(j.child)
+                link_index[j.child] = idx
+                _add_subtree(j.child)
+
+        _add_subtree(body.urdf.get_root())
+        if len(body.joint_names) != len(body.urdf.joints):
+            raise ValueError(f"URDF joint tree disconnected in {filename}")
         n = len(body.joint_names)
         body.q = np.zeros(n)
         body.qd = np.zeros(n)
@@ -646,7 +647,9 @@ def getCameraImage(
             T = (body.base_pose if li < 0 else links[li]) @ local
             meshes.append((mesh, T, uid))
 
-    depth, ids = render_depth(meshes, cam_pose, K, width, height, background_depth=far)
+    depth, ids = render_depth(
+        meshes, cam_pose, K, width, height, background_depth=far, znear=near
+    )
     depth = np.clip(depth, near, far)
     ndc = (far * (depth - near)) / (depth * (far - near))
     rgba = np.zeros((height, width, 4), dtype=np.uint8)

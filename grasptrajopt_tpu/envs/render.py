@@ -92,6 +92,7 @@ def render_depth(
     height: int,
     background_depth: float = 0.0,
     with_faces: bool = False,
+    znear: float = 0.0,
 ):
     """Render a posed mesh list into (depth, id_mask[, face_idx]).
 
@@ -99,6 +100,12 @@ def render_depth(
     Pixels hit by no surface get `background_depth` (0 = invalid, the
     DepthPointCloud convention) and id -1. With `with_faces`, also returns
     the per-pixel (object-local) triangle index (-1 where empty).
+
+    `znear` > 0 culls triangles with any vertex nearer than the plane
+    (conservative GL-style near clipping — geometry hugging the camera,
+    e.g. the mesh of the link the camera is mounted on, would otherwise
+    z-buffer the whole image away). Note per-pixel face indices keep the
+    ORIGINAL face numbering.
     """
     cam_pose = np.asarray(cam_pose, dtype=np.float64)
     K = np.asarray(K, dtype=np.float64)
@@ -119,17 +126,28 @@ def render_depth(
         pose = np.asarray(pose, dtype=np.float64)
         verts_world = mesh.vertices @ pose[:3, :3].T + pose[:3, 3]
         verts_cam = (verts_world - t_wc) @ R_wc
+        faces = mesh.faces
+        kept = None
+        if znear > 0.0:
+            keep = verts_cam[faces][:, :, 2].min(axis=1) >= znear
+            if not keep.all():
+                kept = np.nonzero(keep)[0].astype(np.int32)
+                faces = np.ascontiguousarray(faces[keep])
         done = False
         if rasterize_native is not None:
             done = rasterize_native(
-                verts_cam, mesh.faces, fx, fy, cx, cy, width, height,
+                verts_cam, faces, fx, fy, cx, cy, width, height,
                 obj_id, depth, ids, face_idx,
             )
         if not done:
             _rasterize_numpy(
-                verts_cam, mesh.faces, fx, fy, cx, cy, width, height,
+                verts_cam, faces, fx, fy, cx, cy, width, height,
                 obj_id, depth, ids, face_idx,
             )
+        if kept is not None and face_idx is not None:
+            # restore ORIGINAL face numbering for this object's pixels
+            mine = (ids == obj_id) & (face_idx >= 0)
+            face_idx[mine] = kept[face_idx[mine]]
 
     empty = ~np.isfinite(depth)
     depth[empty] = background_depth
