@@ -358,6 +358,15 @@ def main():
     best = min(times)
     plans_per_s = batch / best
 
+    if os.environ.get("BENCH_PROFILE"):
+        # device trace of one step (histogram with tools/trace_report.py)
+        import jax.profiler
+
+        jax.profiler.start_trace(os.environ["BENCH_PROFILE"])
+        Q, cost, _ = step()
+        Q.block_until_ready()
+        jax.profiler.stop_trace()
+
     quality = None
     if with_quality and use_reference_robot:
         # -- plan-quality gates (outside the timed region) --------------------

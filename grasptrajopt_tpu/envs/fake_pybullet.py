@@ -597,6 +597,11 @@ def changeDynamics(uid, linkIndex, mass=None, **kwargs):
         _world.bodies[uid].base_mass = float(mass)
 
 
+def getDynamicsInfo(uid, linkIndex, physicsClientId=None) -> tuple:
+    mass = _world.bodies[uid].base_mass if linkIndex == -1 else 0.0
+    return (mass, 0.0, (0.0, 0.0, 0.0), (0.0, 0.0, 0.0), (0.0, 0.0, 0.0, 1.0), 0.0, 0.0)
+
+
 # -- camera --------------------------------------------------------------------
 
 def computeProjectionMatrixFOV(fov, aspect, nearVal, farVal):

@@ -121,18 +121,8 @@ class TestFakeBackend:
         assert mask[0, 0] == -1
 
 
-def _write_box_urdf(path, sx, sy, sz, mass=0.05):
-    with open(path, "w") as f:
-        f.write(
-            f"""<robot name="box">
-  <link name="base">
-    <visual><geometry><box size="{sx} {sy} {sz}"/></geometry></visual>
-    <collision><geometry><box size="{sx} {sy} {sz}"/></geometry></collision>
-    <inertial><mass value="{mass}"/><inertia ixx="1e-4" ixy="0" ixz="0" iyy="1e-4" iyz="0" izz="1e-4"/></inertial>
-  </link>
-</robot>
-"""
-        )
+from fake_dataset import make_mini_dataset as _make_mini_dataset  # noqa: E402
+from fake_dataset import write_box_urdf as _write_box_urdf  # noqa: E402
 
 
 # -- envs/pybullet_api.py -----------------------------------------------------
@@ -198,39 +188,6 @@ class TestPybulletApi:
 
 
 # -- envs/scene_replica.py ----------------------------------------------------
-
-
-def _make_mini_dataset(root, scene_id=10):
-    """SceneReplica-shaped dataset: box 'YCB' objects, panda grasp .npy
-    files, tabletop scene metadata (.mat)."""
-    from grasptrajopt_tpu.envs.scene_replica import YCB_OBJECT_NAMES
-
-    os.makedirs(os.path.join(root, "grasp_data", "panda_simulated"), exist_ok=True)
-    os.makedirs(os.path.join(root, "final_scenes", "metadata"), exist_ok=True)
-    grasp = np.eye(4)
-    grasp[:3, 3] = [0, 0, 0.05]  # approach from above the box center
-    for name in YCB_OBJECT_NAMES:
-        obj_dir = os.path.join(root, "objects", name)
-        os.makedirs(obj_dir, exist_ok=True)
-        _write_box_urdf(os.path.join(obj_dir, "model_normalized.urdf"), 0.06, 0.06, 0.12)
-        np.save(
-            os.path.join(root, "grasp_data", "panda_simulated", f"{name}.npy"),
-            np.array({"transforms": np.stack([grasp, grasp])}, dtype=object),
-        )
-    names = ["009_gelatin_box", "010_potted_meat_can"]
-    poses = np.zeros((2, 7))
-    poses[0] = [0.7, -0.15, 0.82, 1, 0, 0, 0]  # wxyz identity
-    poses[1] = [0.7, 0.15, 0.82, 1, 0, 0, 0]
-    meta = {
-        "object_names": names,
-        "nearest_first": [",".join(names)],
-        "random": [",".join(reversed(names))],
-        "poses": poses,
-    }
-    scipy.io.savemat(
-        os.path.join(root, "final_scenes", "metadata", "meta-%06d.mat" % scene_id), meta
-    )
-    return names
 
 
 class TestSceneReplicaEnv:
