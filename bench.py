@@ -191,10 +191,12 @@ def main():
     # docs/PERF.md) — BENCH_1PASS=0 for the classic two-pass iteration
     single_pass = os.environ.get("BENCH_1PASS", "1") == "1"
     stacked = os.environ.get("BENCH_STACKED", "0") == "1"
+    # BENCH_CR=1: parallel-in-time cyclic-reduction KKT solve
+    cyclic_reduction = os.environ.get("BENCH_CR", "0") == "1"
     planner = GTOPlanner(
         robot, link_ee, link_gripper, iterations=iterations, obstacle_mode=obstacle_mode,
         field_dtype=field_dtype, lm_alphas=lm_alphas, standoff_distance=standoff_distance,
-        single_pass=single_pass,
+        single_pass=single_pass, cyclic_reduction=cyclic_reduction,
     )
     solvers = planner.setup_optimization(
         goal_size=goal_capacity, use_standoff=True, axis_standoff=axis_standoff

@@ -46,7 +46,10 @@ import jax
 import jax.numpy as jnp
 
 from grasptrajopt_tpu.ops import block_tridiag_solve
-from grasptrajopt_tpu.ops.block_tridiag import block_tridiag_matvec
+from grasptrajopt_tpu.ops.block_tridiag import (
+    block_tridiag_matvec,
+    block_tridiag_solve_cr,
+)
 
 
 class TrajectoryConfig(NamedTuple):
@@ -73,6 +76,11 @@ class TrajectoryConfig(NamedTuple):
     # field-gather traffic per iteration; the final trial point is also
     # kept if it improves (its cost IS evaluated, by the next pass).
     single_pass: bool = False
+    # cyclic_reduction=True solves the block-tridiagonal system with
+    # parallel-in-time cyclic reduction (ops.block_tridiag_solve_cr):
+    # ceil(log2 T) levels of batched block ops instead of a 2T-step scan of
+    # tiny sequential Cholesky solves (which are latency-bound on TPU).
+    cyclic_reduction: bool = False
 
 
 def make_trajectory_solver(
@@ -145,6 +153,9 @@ def make_trajectory_solver(
 
         vel_diag = w * jnp.where(jnp.arange(F) < F - 1, 2.0, 1.0).astype(dtype)
         L_off = jnp.broadcast_to(-w * eye, (F - 1, n, n))
+        kkt_solve = (
+            block_tridiag_solve_cr if config.cyclic_reduction else block_tridiag_solve
+        )
 
         def step_lin(q_t, t, step_aux, params):
             """Primal residuals + Jacobian from ONE traced evaluation
@@ -192,7 +203,7 @@ def make_trajectory_solver(
                 + lam * jax.vmap(jnp.diag)(scale)
                 + config.jitter * eye
             )
-            dX = -block_tridiag_solve(D, L_off, g)
+            dX = -kkt_solve(D, L_off, g)
 
             alphas = jnp.asarray(config.alphas, dtype)
             cands = jnp.clip(X[None] + alphas[:, None, None] * dX[None], lo, hi)
@@ -250,7 +261,7 @@ def make_trajectory_solver(
                 + lam * jax.vmap(jnp.diag)(scale)
                 + config.jitter * eye
             )
-            return -block_tridiag_solve(D, L_off, g)
+            return -kkt_solve(D, L_off, g)
 
         def iteration_single(carry, _):
             """Delayed-gratification LM: ONE residual/jac pass per

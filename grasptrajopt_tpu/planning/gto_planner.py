@@ -71,7 +71,11 @@ class GTOPlanner:
         lm_alphas=None,
         single_pass: bool = False,
         field_term: bool = True,
+        cyclic_reduction: bool = False,
     ):
+        # cyclic_reduction: parallel-in-time KKT solve
+        # (opt/trajectory.py TrajectoryConfig.cyclic_reduction)
+        self.cyclic_reduction = cyclic_reduction
         # field_term: evaluate the trilinear-field obstacle cost as a
         # WHOLE-TRAJECTORY term with closed-form spatial gradients
         # (ops.interp.field_lookup_packed_soa_grad) instead of rows inside
@@ -353,6 +357,7 @@ class GTOPlanner:
             smooth_weight=0.01 / self.dt**2,
             iterations=self.iterations,
             single_pass=self.single_pass,
+            cyclic_reduction=self.cyclic_reduction,
             **cfg_kwargs,
         )
         traj_term = None

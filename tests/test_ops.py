@@ -246,3 +246,28 @@ class TestBlockTridiag:
         for b in range(B):
             want = block_tridiag_solve(diag[b], lower[b], rhs[b])
             np.testing.assert_allclose(np.asarray(xb[b]), np.asarray(want), atol=1e-9)
+
+    def test_cyclic_reduction_matches_scan(self):
+        """Parallel-in-time cyclic reduction == block-Thomas at every size
+        class: below/at/above the power-of-two padding, T=1, and the
+        solver's own shape (T=48 free steps, n=7)."""
+        from grasptrajopt_tpu.ops.block_tridiag import block_tridiag_solve_cr
+
+        for T, n, seed in [(1, 3, 0), (2, 3, 1), (3, 4, 2), (7, 2, 3),
+                           (8, 2, 4), (12, 5, 5), (48, 7, 6), (63, 4, 7)]:
+            diag, lower, rhs = self._random_spd_system(T, n, seed=seed)
+            want = np.asarray(block_tridiag_solve(diag, lower, rhs))
+            got = np.asarray(block_tridiag_solve_cr(diag, lower, rhs))
+            np.testing.assert_allclose(got, want, atol=1e-8, err_msg=f"T={T} n={n}")
+
+    def test_cyclic_reduction_vmap(self):
+        from grasptrajopt_tpu.ops.block_tridiag import block_tridiag_solve_cr
+
+        T, n, B = 10, 4, 3
+        systems = [self._random_spd_system(T, n, seed=s + 20) for s in range(B)]
+        diag = jnp.stack([s[0] for s in systems])
+        lower = jnp.stack([s[1] for s in systems])
+        rhs = jnp.stack([s[2] for s in systems])
+        xb = jax.vmap(block_tridiag_solve_cr)(diag, lower, rhs)
+        want = jax.vmap(block_tridiag_solve)(diag, lower, rhs)
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(want), atol=1e-9)
