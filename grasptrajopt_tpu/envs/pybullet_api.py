@@ -217,10 +217,13 @@ class Fetch(FixedBaseRobot):
         q[12] = q[13] = 0.05
         return q
 
-    def look_at(self, pan_deg: float, tilt_deg: float):
+    def look_at(self, pan: float, tilt: float):
+        """Head pan/tilt in DEGREES; callers use keyword args
+        (parity: pybullet_api.py:364, called as look_at(pan=0, tilt=10)
+        from the mobile driver)."""
         q = self.q()
-        q[3] = np.radians(pan_deg)
-        q[4] = np.radians(tilt_deg)
+        q[3] = np.radians(pan)
+        q[4] = np.radians(tilt)
         self.cmd(q)
         for _ in range(200):
             p.stepSimulation()

@@ -260,6 +260,11 @@ def field_lookup_packed_soa_grad(
     rows = packed_rows_gather(packed, offs)  # (..., 8)
     if rows.dtype != x.dtype:
         rows = rows.astype(x.dtype)
+    # Unpack-and-combine form. A contraction form (rows · (..., 4, 8)
+    # weight tensor, 8 kept as a contracted dim to dodge the gathered-row
+    # transpose copy) was tried and is SLOWER on TPU: 53.7 vs 62.4 plans/s
+    # at bench shapes — building the weight cube costs more than the
+    # 1.3 ms/iter copy it avoids (docs/PERF.md negative results).
     c000, c001, c010, c011, c100, c101, c110, c111 = [
         rows[..., i] for i in range(8)
     ]

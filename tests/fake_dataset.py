@@ -35,14 +35,43 @@ def top_down_grasp(height: float = 0.10) -> np.ndarray:
     return g
 
 
+def top_down_grasp_fetch(height: float = 0.30) -> np.ndarray:
+    """Fetch wrist_roll-frame grasp: approach axis is +x (fetch.yaml
+    axis_standoff 'x'), pointed straight down, wrist `height` above the
+    object center (the wrist sits ~0.2 m behind the fingertips)."""
+    g = np.eye(4)
+    g[:3, :3] = np.array([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0], [-1.0, 0.0, 0.0]])
+    g[2, 3] = height
+    return g
+
+
+def _mat_to_quat_xyzw(R):
+    import math
+
+    t = np.trace(R)
+    s = math.sqrt(max(t + 1.0, 1e-12)) * 2
+    return (
+        float((R[2, 1] - R[1, 2]) / s),
+        float((R[0, 2] - R[2, 0]) / s),
+        float((R[1, 0] - R[0, 1]) / s),
+        0.25 * s,
+    )
+
+
 def make_mini_dataset(root: str, scene_id: int = 10, grasp: np.ndarray = None):
-    """Populate `root` with 16 box YCB objects, panda grasp .npy files and
-    one tabletop scene's metadata. Returns the scene's object names."""
+    """Populate `root` with 16 box YCB objects, panda + fetch grasp files
+    and one tabletop scene's metadata. Returns the scene's object names."""
+    import json
+
     from grasptrajopt_tpu.envs.scene_replica import YCB_OBJECT_NAMES
 
     if grasp is None:
         grasp = top_down_grasp()
+    fetch_grasp = top_down_grasp_fetch()
+    q_xyzw = _mat_to_quat_xyzw(fetch_grasp[:3, :3])
+    fetch_pose = list(fetch_grasp[:3, 3]) + list(q_xyzw)  # [x y z qx qy qz qw]
     os.makedirs(os.path.join(root, "grasp_data", "panda_simulated"), exist_ok=True)
+    os.makedirs(os.path.join(root, "grasp_data", "refined_grasps"), exist_ok=True)
     os.makedirs(os.path.join(root, "final_scenes", "metadata"), exist_ok=True)
     for name in YCB_OBJECT_NAMES:
         obj_dir = os.path.join(root, "objects", name)
@@ -52,6 +81,11 @@ def make_mini_dataset(root: str, scene_id: int = 10, grasp: np.ndarray = None):
             os.path.join(root, "grasp_data", "panda_simulated", f"{name}.npy"),
             np.array({"transforms": np.stack([grasp, grasp])}, dtype=object),
         )
+        with open(
+            os.path.join(root, "grasp_data", "refined_grasps", f"fetch_gripper-{name}.json"),
+            "w",
+        ) as f:
+            json.dump({"grasps": [{"pose": fetch_pose}, {"pose": fetch_pose}]}, f)
     names = ["009_gelatin_box", "010_potted_meat_can"]
     poses = np.zeros((2, 7))
     poses[0] = [0.7, -0.15, 0.82, 1, 0, 0, 0]  # wxyz identity

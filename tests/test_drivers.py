@@ -92,3 +92,41 @@ def test_gto_planning_then_evaluate(tmp_path, monkeypatch):
     )
     evaluator = _load_driver("evaluate_plans")
     evaluator.main()
+
+
+@pytest.mark.slow
+def test_mobile_driver(tmp_path, monkeypatch):
+    """Mobile-manipulation driver (C22): base placement, differential-drive
+    repositioning, base freeze, base-frame per-object loop — executed
+    end-to-end on the fake backend with Fetch."""
+    data_dir = str(tmp_path / "dataset")
+    os.makedirs(data_dir)
+    make_mini_dataset(data_dir, scene_id=10)
+    monkeypatch.chdir(tmp_path)
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["gto_planning_mobile.py", "-s", "10", "-d", data_dir, "--goal_capacity", "2"],
+    )
+    driver = _load_driver("gto_planning_mobile")
+    # one ordering keeps the runtime bounded; the second adds no coverage
+    monkeypatch.setitem(
+        driver.SCENE_KNOBS, "tabletop",
+        dict(driver.SCENE_KNOBS["tabletop"], orderings=["nearest_first"]),
+    )
+    np.random.seed(0)
+    driver.main()
+
+    files = list((tmp_path / "results").glob("GTO_scenereplica_mobile_fetch_tabletop_*.json"))
+    assert len(files) == 1
+    with open(files[0]) as f:
+        results = json.load(f)
+    rec = results["10"]["nearest_first"]
+    # mobile runs persist the chosen base pose (reference schema,
+    # pybullet_gto_planning_mobile.py:247)
+    RT_base_new = np.asarray(rec["RT_base_new"])
+    assert RT_base_new.shape == (4, 4)
+    # the base actually moved from its -2 m spawn toward the table
+    assert RT_base_new[0, 3] > -1.9
+    for name in ("009_gelatin_box", "010_potted_meat_can"):
+        assert {"reward", "plan", "checking_time"} <= set(rec[name])
