@@ -459,9 +459,9 @@ class GTOPlanner:
         pts = robot.fk_surface_points(seeds, base_position=jnp.asarray(base_position, dtype))
         if self.obstacle_mode == "points":
             from grasptrajopt_tpu.fields.depth_point_cloud import sdf_cost_shaping
-            from grasptrajopt_tpu.ops.nn import signed_distance_to_set
+            from grasptrajopt_tpu.ops.nn import signed_distance_with_dir
 
-            sd = signed_distance_to_set(
+            sd, _ = signed_distance_with_dir(
                 pts,
                 jnp.asarray(scene_obstacle.points, dtype),
                 jnp.asarray(scene_obstacle.normals, dtype),

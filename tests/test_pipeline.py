@@ -121,6 +121,35 @@ class TestPointsObstacleMode:
                 fd = (f(p + dp) - f(p - dp)) / (2 * eps)
                 np.testing.assert_allclose(g[i, k], np.asarray(fd), atol=1e-4)
 
+    def test_lateral_footprint_sign_guard(self):
+        """The normal-dot sign only claims 'inside' within the surface
+        sample's lateral footprint: a point below the tabletop PLANE but
+        far to the side of the table is OUTSIDE (positive sd). Regression
+        for the round-2 points-mode quality collapse (the robot base under
+        an infinite tangent plane)."""
+        from grasptrajopt_tpu.ops.nn import signed_distance_with_dir
+
+        xs, ys = np.meshgrid(np.arange(0.2, 0.9, 0.02), np.arange(-0.6, 0.6, 0.02))
+        sheet = jnp.asarray(
+            np.stack([xs.ravel(), ys.ravel(), np.full(xs.size, 0.15)], axis=1)
+        )
+        nrm = jnp.asarray(np.tile([0.0, 0.0, 1.0], (sheet.shape[0], 1)))
+        q = jnp.asarray(
+            [
+                [0.5, 0.0, 0.10],  # directly under the sheet: inside
+                [0.0, 0.0, 0.05],  # below the plane but 0.2 m to the side: outside
+                [0.5, 0.0, 0.20],  # above: outside
+            ]
+        )
+        sd, dirs = signed_distance_with_dir(q, sheet, nrm)
+        assert float(sd[0]) < 0 and abs(float(sd[0]) + 0.05) < 0.01
+        assert float(sd[1]) > 0.1
+        assert abs(float(sd[2]) - 0.05) < 0.01
+        # gradient of the inside point pushes up (+z), the outside lateral
+        # point pushes away from the sheet edge
+        assert float(dirs[0, 2]) > 0.9
+        assert float(dirs[1, 0]) < -0.5
+
     def test_plan_avoids_fence_points_mode(self, panda):
         """Same fence scenario as field mode, but with the gather-free
         direct-distance obstacle term."""
