@@ -191,6 +191,8 @@ def main():
     # docs/PERF.md) — BENCH_1PASS=0 for the classic two-pass iteration
     single_pass = os.environ.get("BENCH_1PASS", "1") == "1"
     stacked = os.environ.get("BENCH_STACKED", "0") == "1"
+    if stacked:
+        shared_scene = False  # stacked measures the per-problem-field path
     # BENCH_CR=1: parallel-in-time cyclic-reduction KKT solve
     cyclic_reduction = os.environ.get("BENCH_CR", "0") == "1"
     planner = GTOPlanner(
@@ -426,6 +428,7 @@ def main():
                     "robot": robot.name,
                     "obstacle_mode": obstacle_mode,
                     "shared_scene": shared_scene,
+                    "stacked": stacked,
                     "mesh": mesh_info,
                     "batch": batch,
                     "goal_capacity": goal_capacity,

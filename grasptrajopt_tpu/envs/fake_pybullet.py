@@ -668,34 +668,69 @@ def getCameraImage(
 
 # -- inverse kinematics --------------------------------------------------------
 
+def _rotvec_from_mat(R: np.ndarray) -> np.ndarray:
+    """Axis-angle vector of a rotation matrix (small-angle safe)."""
+    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    s = 0.5 * np.linalg.norm(w)
+    c = 0.5 * (np.trace(R) - 1.0)
+    angle = math.atan2(s, c)
+    if s < 1e-9:
+        if c > 0.0:  # ~identity
+            return 0.5 * w
+        # angle ~ pi: axis from the diagonal
+        axis = np.sqrt(np.maximum(0.0, (np.diag(R) + 1.0) / 2.0))
+        axis[w < 0] *= -1.0 if np.any(w < 0) else 1.0
+        n = np.linalg.norm(axis)
+        return angle * (axis / n if n > 0 else np.array([1.0, 0.0, 0.0]))
+    return angle * (0.5 * w / s)
+
+
 def calculateInverseKinematics(
     uid, endEffectorLinkIndex, targetPosition, targetOrientation=None, physicsClientId=None, **kwargs
 ):
-    """Damped-least-squares position IK over all movable joints (the real
-    solver's role in the retract ladder, pybullet_scenereplica.py:597-623)."""
+    """Damped-least-squares IK over all movable joints (the real solver's
+    role in the retract ladder, pybullet_scenereplica.py:597-623). Position
+    only by default; with `targetOrientation` (xyzw quaternion) a 6-dof
+    error is solved. Side-effect free like the real engine — the body's
+    joint state is restored on return."""
     b = _world.bodies[uid]
     movable = b.movable_joints()
     target = np.asarray(targetPosition, dtype=float)
+    R_target = _quat_xyzw_to_mat(targetOrientation) if targetOrientation is not None else None
+    q0_saved = b.q.copy()
     q = b.q.copy()
     eps, lam = 1e-5, 1e-3
-    for _ in range(30):
-        b.q = q
-        p0 = np.asarray(b.link_transform(endEffectorLinkIndex)[:3, 3])
-        err = target - p0
-        if np.linalg.norm(err) < 1e-4:
-            break
-        J = np.zeros((3, len(movable)))
-        for c, j in enumerate(movable):
-            b.q = q.copy()
-            b.q[j] += eps
-            J[:, c] = (np.asarray(b.link_transform(endEffectorLinkIndex)[:3, 3]) - p0) / eps
-        b.q = q
-        step = J.T @ np.linalg.solve(J @ J.T + lam * np.eye(3), err)
-        step = np.clip(step, -0.2, 0.2)
-        for c, j in enumerate(movable):
-            lo, hi = b.joint_limits[j]
-            q[j] = min(max(q[j] + step[c], lo), hi)
-    b.q = q
+    nerr = 3 if R_target is None else 6
+    try:
+        for _ in range(30):
+            b.q = q
+            T0 = np.asarray(b.link_transform(endEffectorLinkIndex))
+            err = target - T0[:3, 3]
+            if R_target is not None:
+                err = np.concatenate([err, _rotvec_from_mat(R_target @ T0[:3, :3].T)])
+            if np.linalg.norm(err) < 1e-4:
+                break
+            J = np.zeros((nerr, len(movable)))
+            for c, j in enumerate(movable):
+                b.q = q.copy()
+                b.q[j] += eps
+                Tj = np.asarray(b.link_transform(endEffectorLinkIndex))
+                J[:3, c] = (Tj[:3, 3] - T0[:3, 3]) / eps
+                if R_target is not None:
+                    # rows consistent with the position block (J = d(pose)/dq,
+                    # err = target - pose): -d(rot residual)/dq
+                    J[3:, c] = -(
+                        _rotvec_from_mat(R_target @ Tj[:3, :3].T)
+                        - _rotvec_from_mat(R_target @ T0[:3, :3].T)
+                    ) / eps
+            b.q = q
+            step = J.T @ np.linalg.solve(J @ J.T + lam * np.eye(nerr), err)
+            step = np.clip(step, -0.2, 0.2)
+            for c, j in enumerate(movable):
+                lo, hi = b.joint_limits[j]
+                q[j] = min(max(q[j] + step[c], lo), hi)
+    finally:
+        b.q = q0_saved
     return tuple(float(q[j]) for j in movable)
 
 

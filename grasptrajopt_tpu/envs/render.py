@@ -133,6 +133,12 @@ def render_depth(
             if not keep.all():
                 kept = np.nonzero(keep)[0].astype(np.int32)
                 faces = np.ascontiguousarray(faces[keep])
+        # Pixels of an EARLIER mesh may share this obj_id (multi-link bodies
+        # render every link under the body uid), so "mine" below must be
+        # limited to pixels this pass actually wrote — snapshot the z-buffer.
+        depth_before = (
+            depth.copy() if (kept is not None and face_idx is not None) else None
+        )
         done = False
         if rasterize_native is not None:
             done = rasterize_native(
@@ -145,8 +151,8 @@ def render_depth(
                 obj_id, depth, ids, face_idx,
             )
         if kept is not None and face_idx is not None:
-            # restore ORIGINAL face numbering for this object's pixels
-            mine = (ids == obj_id) & (face_idx >= 0)
+            # restore ORIGINAL face numbering for the pixels THIS pass wrote
+            mine = (depth < depth_before) & (face_idx >= 0)
             face_idx[mine] = kept[face_idx[mine]]
 
     empty = ~np.isfinite(depth)

@@ -133,7 +133,11 @@ class SurfacePointCloud:
         return voxels
 
     def sample_sdf_near_surface(
-        self, number_of_points: int = 500000, sample_count: int = 11, seed: int = 0
+        self,
+        number_of_points: int = 500000,
+        sample_count: int = 11,
+        seed: int = 0,
+        use_depth_buffer: bool = False,
     ):
         """DeepSDF-style sampling: jittered surface points + unit-sphere
         fill (parity: surface_point_cloud.py:105-134)."""
@@ -147,7 +151,9 @@ class SurfacePointCloud:
         sphere_count = number_of_points - 2 * surface_count
         queries.append(sample_uniform_points_in_unit_sphere(sphere_count, rng))
         query_points = np.concatenate(queries).astype(np.float32)
-        return query_points, self.get_sdf_in_batches(query_points, sample_count)
+        return query_points, self.get_sdf_in_batches(
+            query_points, sample_count, use_depth_buffer=use_depth_buffer
+        )
 
 
 def sample_uniform_points_in_unit_sphere(count: int, rng=None) -> np.ndarray:
@@ -276,10 +282,14 @@ def sample_sdf_near_surface(
     sample_point_count: int = 10_000_000,
     normal_sample_count: int = 11,
 ):
-    _check_sign_method(surface_point_method, sign_method)
+    sign_method = _check_sign_method(surface_point_method, sign_method)
     cloud = get_surface_point_cloud(
         scale_to_unit_sphere(mesh), surface_point_method, bounding_radius=1.0,
         scan_count=scan_count, scan_resolution=scan_resolution,
         sample_point_count=sample_point_count,
     )
-    return cloud.sample_sdf_near_surface(number_of_points, sample_count=normal_sample_count)
+    return cloud.sample_sdf_near_surface(
+        number_of_points,
+        sample_count=normal_sample_count,
+        use_depth_buffer=sign_method == "depth",
+    )

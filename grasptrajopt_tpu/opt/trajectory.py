@@ -73,8 +73,9 @@ class TrajectoryConfig(NamedTuple):
     # classic "delayed gratification" LM restructure). The H/g of the last
     # ACCEPTED point are carried (tiny: (F, n, n) + (F, n)) so a rejected
     # trial re-solves from them with a larger lambda. Halves the dominant
-    # field-gather traffic per iteration; the final trial point is also
-    # kept if it improves (its cost IS evaluated, by the next pass).
+    # field-gather traffic per iteration. Note the LAST scan iteration's
+    # freshly solved trial point is returned unevaluated-and-discarded, so
+    # `iterations` buys iterations-1 evaluated LM trials on this path.
     single_pass: bool = False
     # cyclic_reduction=True solves the block-tridiagonal system with
     # parallel-in-time cyclic reduction (ops.block_tridiag_solve_cr):
@@ -169,40 +170,47 @@ def make_trajectory_solver(
             J, r = jax.jacfwd(f, has_aux=True)(q_t)  # J: (R, n)
             return r, J.T
 
+        def lin_at(X, step_aux):
+            """One jacfwd pass at X: cost, GN blocks H, gradient g.
+
+            Pinned-prefix residuals contribute constant cost; residuals are
+            computed for all steps but Jacobians only enter for free steps.
+            Shared by the two-pass and single-pass iterations so the H/g
+            assembly (including the traj_term contractions) has ONE home."""
+            Q = assemble(X, qc_opt)
+            r_all, J_allT = jax.vmap(
+                lambda q, t: step_lin(q, t, step_aux, params)
+            )(Q, t_all)  # r: (T, R); J^T: (T, n, R)
+            c = jnp.sum(r_all * r_all) + smooth_cost(Q)
+            Jt = J_allT[nf:]  # (F, n, R)
+            H = jnp.einsum("fir,fjr->fij", Jt, Jt)  # (F, n, n)
+            g = jnp.einsum("fir,fr->fi", Jt, r_all[nf:]) + smooth_grad_X(Q)
+            if traj_term is not None:
+                r2, J2 = traj_term[1](Q, step_aux, params)  # (T,R2), (T,R2,n)
+                c = c + jnp.sum(r2 * r2)
+                H = H + jnp.einsum("fri,frj->fij", J2[nf:], J2[nf:])
+                g = g + jnp.einsum("fri,fr->fi", J2[nf:], r2[nf:])
+            return c, H, g
+
+        def damped_D(H, lam):
+            """LM-damped diagonal blocks (Marquardt scaling + jitter)."""
+            scale = jnp.maximum(
+                jax.vmap(jnp.diag)(H) + vel_diag[:, None], config.jitter
+            )
+            return (
+                H
+                + vel_diag[:, None, None] * eye
+                + lam * jax.vmap(jnp.diag)(scale)
+                + config.jitter * eye
+            )
+
         def iteration(carry, _):
             X, lam, c, aux_prev = carry
             Q = assemble(X, qc_opt)
             step_aux = pre_iteration(Q, params) if pre_iteration is not None else aux_prev
 
-            # pinned-prefix residuals contribute constant cost; compute all
-            # steps' residuals but Jacobians only for free steps
-            r_all, J_allT = jax.vmap(
-                lambda q, t: step_lin(q, t, step_aux, params)
-            )(Q, t_all)  # r: (T, R); J^T: (T, n, R)
-            c_now = jnp.sum(r_all * r_all) + smooth_cost(Q)
-
-            Jt = J_allT[nf:]  # (F, n, R)
-            r_free = r_all[nf:]  # (F, R)
-            H_blocks = jnp.einsum("fir,fjr->fij", Jt, Jt)  # (F, n, n)
-            g = jnp.einsum("fir,fr->fi", Jt, r_free) + smooth_grad_X(Q)
-
-            if traj_term is not None:
-                r2, J2 = traj_term[1](Q, step_aux, params)  # (T,R2), (T,R2,n)
-                c_now = c_now + jnp.sum(r2 * r2)
-                J2f = J2[nf:]
-                r2f = r2[nf:]
-                H_blocks = H_blocks + jnp.einsum("fri,frj->fij", J2f, J2f)
-                g = g + jnp.einsum("fri,fr->fi", J2f, r2f)
-
-            scale = jnp.maximum(
-                jax.vmap(jnp.diag)(H_blocks) + vel_diag[:, None], config.jitter
-            )
-            D = (
-                H_blocks
-                + vel_diag[:, None, None] * eye
-                + lam * jax.vmap(jnp.diag)(scale)
-                + config.jitter * eye
-            )
+            c_now, H_blocks, g = lin_at(X, step_aux)
+            D = damped_D(H_blocks, lam)
             dX = -kkt_solve(D, L_off, g)
 
             alphas = jnp.asarray(config.alphas, dtype)
@@ -234,40 +242,21 @@ def make_trajectory_solver(
             lam_new = jnp.clip(lam_new, config.lambda_min, config.lambda_max)
             return (X_new, lam_new, c_new, step_aux), None
 
-        def lin_at(X, step_aux):
-            """One jacfwd pass at X: cost, GN blocks H, gradient g."""
-            Q = assemble(X, qc_opt)
-            r_all, J_allT = jax.vmap(
-                lambda q, t: step_lin(q, t, step_aux, params)
-            )(Q, t_all)
-            c = jnp.sum(r_all * r_all) + smooth_cost(Q)
-            Jt = J_allT[nf:]
-            H = jnp.einsum("fir,fjr->fij", Jt, Jt)
-            g = jnp.einsum("fir,fr->fi", Jt, r_all[nf:]) + smooth_grad_X(Q)
-            if traj_term is not None:
-                r2, J2 = traj_term[1](Q, step_aux, params)
-                c = c + jnp.sum(r2 * r2)
-                H = H + jnp.einsum("fri,frj->fij", J2[nf:], J2[nf:])
-                g = g + jnp.einsum("fri,fr->fi", J2[nf:], r2[nf:])
-            return c, H, g
-
         def solve_from(H, g, lam):
-            scale = jnp.maximum(
-                jax.vmap(jnp.diag)(H) + vel_diag[:, None], config.jitter
-            )
-            D = (
-                H
-                + vel_diag[:, None, None] * eye
-                + lam * jax.vmap(jnp.diag)(scale)
-                + config.jitter * eye
-            )
-            return -kkt_solve(D, L_off, g)
+            return -kkt_solve(damped_D(H, lam), L_off, g)
 
         def iteration_single(carry, _):
             """Delayed-gratification LM: ONE residual/jac pass per
             iteration. The pass at the trial point doubles as its
             acceptance evaluation; on reject, re-solve from the stored
-            (H, g) of the accepted point with a larger lambda."""
+            (H, g) of the accepted point with a larger lambda.
+
+            The c_try < c_acc test stays a true descent test on the
+            pointwise-min objective even though step_aux changes between
+            iterations: pre_iteration returns the argmin over the goal set
+            of the only aux-dependent cost part (gto_planner.py
+            pre_iteration), so every recorded cost equals
+            min_aux f(X, aux) at its own point."""
             X_try, X_acc, H_acc, g_acc, c_acc, lam, aux_prev = carry
             step_aux = (
                 pre_iteration(assemble(X_try, qc_opt), params)

@@ -86,8 +86,13 @@ def score_plan(
     d, rot = goalset_reach_errors(robot, link_ee, plan[:, -1], RT_goals)
     within = (d < pos_tol) & (rot < rot_tol_deg)
     reached = bool(within.any())
-    # report the errors of the goal actually reached (best combined score)
-    best = int(np.argmin(d + rot * 2e-3))
+    # report the errors of the goal actually reached: best combined score
+    # restricted to goals meeting both tolerances when any does, so the
+    # recorded (err_pos, err_rot) pair is always consistent with `reached`
+    score = d + rot * 2e-3
+    if reached:
+        score = np.where(within, score, np.inf)
+    best = int(np.argmin(score))
     err_pos, err_rot = float(d[best]), float(rot[best])
     collision, counts = check_plan_collision(
         robot, plan, depth_pc_obstacle, base_position, threshold_points

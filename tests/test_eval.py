@@ -108,3 +108,48 @@ class TestClosedLoopEvaluation:
         for r in recs:
             for key in ("reward", "checking_time", "ik_time", "planning_time"):
                 assert key in r
+
+
+class TestScorePlan:
+    def test_errors_attributed_to_a_goal_meeting_tolerances(self, monkeypatch):
+        """When reached, (err_pos, err_rot) must come from a goal that
+        satisfies BOTH tolerances, not the best-combined-score goal (which
+        may violate one of them — symmetric flip pairs make this common)."""
+        from grasptrajopt_tpu.planning import evaluate
+
+        # goal 0 wins the combined score but fails rot tol; goal 1 is the
+        # goal actually reached
+        d = np.array([0.001, 0.018])
+        rot = np.array([12.0, 8.0])
+        monkeypatch.setattr(
+            evaluate, "goalset_reach_errors", lambda *a, **k: (d, rot)
+        )
+        monkeypatch.setattr(
+            evaluate,
+            "check_plan_collision",
+            lambda *a, **k: (False, np.zeros(5, dtype=int)),
+        )
+        rec = evaluate.score_plan(
+            None, "ee", np.zeros((7, 3)), None, None,
+            pos_tol=0.02, rot_tol_deg=10.0,
+        )
+        assert rec["reached"] and rec["reward"] == 1
+        assert rec["err_pos"] == pytest.approx(0.018)
+        assert rec["err_rot"] == pytest.approx(8.0)
+
+    def test_unreached_reports_best_combined(self, monkeypatch):
+        from grasptrajopt_tpu.planning import evaluate
+
+        d = np.array([0.05, 0.2])
+        rot = np.array([30.0, 2.0])
+        monkeypatch.setattr(
+            evaluate, "goalset_reach_errors", lambda *a, **k: (d, rot)
+        )
+        monkeypatch.setattr(
+            evaluate,
+            "check_plan_collision",
+            lambda *a, **k: (True, np.full(5, 9, dtype=int)),
+        )
+        rec = evaluate.score_plan(None, "ee", np.zeros((7, 3)), None, None)
+        assert not rec["reached"] and rec["collision"] and rec["reward"] == 0
+        assert rec["err_pos"] == pytest.approx(0.05)

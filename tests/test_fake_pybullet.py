@@ -121,6 +121,28 @@ class TestFakeBackend:
         assert mask[0, 0] == -1
 
 
+    def test_ik_is_side_effect_free_and_honors_orientation(self, fresh_world):
+        """calculateInverseKinematics must not move the robot (real-engine
+        contract) and must satisfy targetOrientation when given."""
+        uid = fp.loadURDF(fileName=PANDA_URDF, useFixedBase=1, basePosition=[0, 0, 0])
+        body = fp._world.bodies[uid]
+        q_home = [0.0, -1.0, 0.0, -2.2, 0.0, 1.6, 0.8, 0.02, 0.02]
+        for idx, val in zip(body.movable_joints(), q_home):
+            fp.resetJointState(uid, idx, val)
+        q_before = body.q.copy()
+        pos0, orn0 = fp.getLinkState(uid, 7)[:2]
+        target = (pos0[0], pos0[1], pos0[2] + 0.08)
+        sol = fp.calculateInverseKinematics(uid, 7, target, targetOrientation=orn0)
+        np.testing.assert_array_equal(body.q, q_before)  # no mutation
+        for idx, val in zip(body.movable_joints(), sol):
+            fp.resetJointState(uid, idx, val)
+        pos1, orn1 = fp.getLinkState(uid, 7)[:2]
+        assert np.linalg.norm(np.array(pos1) - np.array(target)) < 5e-3
+        # quaternion angle between solution and requested orientation
+        dot = abs(float(np.dot(orn1, orn0)))
+        assert np.degrees(2 * np.arccos(min(dot, 1.0))) < 5.0
+
+
 from fake_dataset import make_mini_dataset as _make_mini_dataset  # noqa: E402
 from fake_dataset import write_box_urdf as _write_box_urdf  # noqa: E402
 
