@@ -73,9 +73,10 @@ class TrajectoryConfig(NamedTuple):
     # classic "delayed gratification" LM restructure). The H/g of the last
     # ACCEPTED point are carried (tiny: (F, n, n) + (F, n)) so a rejected
     # trial re-solves from them with a larger lambda. Halves the dominant
-    # field-gather traffic per iteration. Note the LAST scan iteration's
-    # freshly solved trial point is returned unevaluated-and-discarded, so
-    # `iterations` buys iterations-1 evaluated LM trials on this path.
+    # field-gather traffic per iteration. The LAST scan iteration's freshly
+    # solved trial point is kept when it improves (a single post-scan
+    # residual pass evaluates it), so `iterations` buys a full `iterations`
+    # evaluated LM trials on this path.
     single_pass: bool = False
     # cyclic_reduction=True solves the block-tridiagonal system with
     # parallel-in-time cyclic reduction (ops.block_tridiag_solve_cr):
@@ -293,8 +294,25 @@ def make_trajectory_solver(
             (X_try, X_acc, _, _, c_acc, lam, step_aux), _ = jax.lax.scan(
                 iteration_single, init, None, length=config.iterations
             )
-            Q = assemble(X_acc, qc_opt)
-            return Q, c_acc, {"lambda": lam, "step_aux": step_aux}
+            # One post-scan residual pass: the budget's final KKT solve
+            # produced X_try, which the scan would otherwise discard
+            # unevaluated — keep it when it improves. Fresh aux at X_try
+            # keeps the comparison on the pointwise-min objective (see
+            # iteration_single docstring).
+            if pre_iteration is not None:
+                aux_try = pre_iteration(assemble(X_try, qc_opt), params)
+            else:
+                aux_try = step_aux
+            c_try = residuals_cost(X_try, qc_opt, aux_try, params)
+            take = jnp.logical_and(c_try < c_acc, jnp.isfinite(c_try))
+            X_fin = jnp.where(take, X_try, X_acc)
+            c_fin = jnp.where(take, c_try, c_acc)
+            if pre_iteration is not None:
+                step_aux = jax.tree.map(
+                    lambda a, b: jnp.where(take, a, b), aux_try, step_aux
+                )
+            Q = assemble(X_fin, qc_opt)
+            return Q, c_fin, {"lambda": lam, "step_aux": step_aux}
 
         c0 = residuals_cost(X0, qc_opt, aux0, params)
         init = (X0, jnp.asarray(config.lambda_init, dtype), c0, aux0)
