@@ -143,6 +143,7 @@ def evaluate_scenes(
                     "num_grasps": res.n_grasps,
                     "num_collision_free": res.n_collision_free,
                     "num_ik": res.n_ik_found,
+                    "rescued": res.rescued,
                 }
                 if res.plan is not None:
                     depth_obs = np.array(depth, copy=True)

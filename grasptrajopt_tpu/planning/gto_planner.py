@@ -591,6 +591,97 @@ class GTOPlanner:
         dQ[opt_idx, :] = (Q[opt_idx, 1:] - Q[opt_idx, :-1]) / self.dt
         return Q, dQ, np.asarray(cost).reshape(1)
 
+    def plan_pergoal_batch(
+        self,
+        qc,
+        RTs,
+        sdf_cost_all,
+        sdf_cost_obstacle,
+        base_position,
+        q_solutions,
+        use_standoff: bool = True,
+        axis_standoff: str = "x",
+        goal_capacity: Optional[int] = None,
+        scene_obstacle=None,
+        scene_target=None,
+    ):
+        """One INDEPENDENT single-goal solve per candidate grasp, batched in
+        one device program (the rescue path — no reference equivalent: the
+        reference cannot afford n extra Ipopt solves per object, but a
+        vmapped batch of n LM solves costs barely more than one).
+
+        Problem b optimizes toward goal b alone (one-hot goal mask on the
+        shared goal-set program) and warm-starts from ITS OWN IK candidate,
+        so a bad soft-min compromise in `plan_goalset` cannot drag every
+        candidate into the same local minimum. Callers score the n plans
+        with planning.evaluate.score_plan and pick the best gated one.
+
+        qc (ndof,); RTs (n, 4, 4); q_solutions (ndof, n) — one IK solution
+        per goal, aligned with RTs rows.
+        Returns (Q (n, ndof, T), cost (n,))."""
+        robot = self.robot
+        dtype = robot.dtype
+        qc = jnp.asarray(qc, dtype).reshape(-1)
+        RTs = np.asarray(RTs)
+        q_solutions = np.asarray(q_solutions)
+        n = RTs.shape[0]
+        assert q_solutions.shape[1] == n, "one IK candidate per goal required"
+        cap = goal_capacity or n
+        assert n <= cap
+
+        tf_goal = np.tile(np.eye(4, dtype=np.float32)[None], (cap, 1, 1))
+        tf_goal[:n] = RTs
+        # problem b targets goal bidx[b]; padding problems re-solve goal 0
+        # (their plans are sliced away before returning)
+        bidx = np.minimum(np.arange(cap), n - 1)
+        goal_mask = np.zeros((cap, cap), dtype=bool)
+        goal_mask[np.arange(cap), bidx] = True
+
+        solvers = self.setup_optimization(cap, use_standoff, axis_standoff)
+
+        param_idx = jnp.asarray(robot.parameter_joint_indexes, dtype=int)
+
+        def seed_for(q_sol):
+            data = interpolate_waypoints_jnp(qc, q_sol, self.T)  # (T, ndof)
+            if robot.num_param_joints:
+                data = data.at[:, param_idx].set(qc[param_idx])
+            return data
+
+        q_sols_b = jnp.asarray(q_solutions.T[bidx], dtype)  # (cap, ndof)
+        seeds = jax.vmap(seed_for)(q_sols_b)  # (cap, T, ndof)
+
+        q_param = robot.extract_parameter_dimensions(qc[:, None])[:, 0]
+        qc_opt = robot.extract_optimized_dimensions(qc[:, None])[:, 0]
+        ext_o = jax.vmap(
+            lambda Qf: robot.extract_optimized_dimensions(Qf.T).T[2:]
+        )
+        X0 = ext_o(seeds)  # (cap, T-2, n_opt)
+        qc_opt_b = jnp.broadcast_to(qc_opt, (cap, qc_opt.shape[0]))
+
+        params_shared = {
+            "q_param": q_param,
+            "tf_goal": jnp.asarray(tf_goal, dtype),
+            "base_position": jnp.asarray(base_position, dtype),
+        }
+        if self.obstacle_mode == "points":
+            assert scene_obstacle is not None and scene_target is not None
+            params_shared["scene_points"] = jnp.asarray(scene_obstacle.points, dtype)
+            params_shared["scene_normals"] = jnp.asarray(scene_obstacle.normals, dtype)
+            params_shared["target_points"] = jnp.asarray(scene_target.points, dtype)
+            params_shared["target_normals"] = jnp.asarray(scene_target.normals, dtype)
+        else:
+            params_shared["sdf_cost_all"] = jnp.asarray(sdf_cost_all, dtype)
+            params_shared["sdf_cost_obstacle"] = jnp.asarray(sdf_cost_obstacle, dtype)
+        params_per = {"goal_mask": jnp.asarray(goal_mask)}
+
+        Q_opt, cost, _ = solvers.solve_batch_shared(
+            qc_opt_b, X0, params_per, params_shared
+        )  # (cap, T, n_opt), (cap,)
+        assemble_traj = jax.vmap(jax.vmap(robot.assemble_q, in_axes=(0, None)), in_axes=(0, None))
+        Q_full = assemble_traj(Q_opt, q_param)  # (cap, T, ndof)
+        Q = np.asarray(Q_full).transpose(0, 2, 1)[:n]  # (n, ndof, T)
+        return Q, np.asarray(cost)[:n]
+
     def plan_goalset_batch(
         self,
         qc,

@@ -46,6 +46,9 @@ class PipelineResult:
     ik_time: float
     planning_time: float
     stage: str  # 'ok' | 'no_collision_free_grasp' | 'no_ik'
+    # True when the goal-set plan failed the kinematic gates and a batched
+    # per-goal rescue solve produced the returned plan instead
+    rescued: bool = False
 
 
 class GraspPipeline:
@@ -71,6 +74,9 @@ class GraspPipeline:
         ik_capacity: Optional[int] = None,
         planner_iterations: int = 50,
         ik_iterations: int = 50,
+        rescue: bool = True,
+        rescue_pos_tol: float = 0.02,
+        rescue_rot_tol_deg: float = 10.0,
     ):
         self.robot = robot
         self.gripper_model = gripper_model
@@ -91,6 +97,15 @@ class GraspPipeline:
         # rebuilds its NLP per call; we don't even re-jit)
         self.grid = grid
         self.ik_capacity = ik_capacity
+        # rescue: when the goal-set plan fails the kinematic gates (reach
+        # within tolerances AND collision-free replay), re-solve every
+        # surviving grasp as an independent single-goal problem in ONE
+        # vmapped batch and return the best gated plan. The reference
+        # cannot afford this (n extra Ipopt solves); a batched LM rescue
+        # costs about one extra solve wall-clock.
+        self.rescue = rescue
+        self.rescue_pos_tol = rescue_pos_tol
+        self.rescue_rot_tol_deg = rescue_rot_tol_deg
 
         self.planner = GTOPlanner(
             robot, link_ee, link_gripper,
@@ -200,8 +215,55 @@ class GraspPipeline:
             use_standoff=True, axis_standoff=self.axis_standoff,
             interpolate=self.interpolate, goal_capacity=cap,
         )
+        cost = float(cost[0])
+
+        rescued = False
+        if self.rescue:
+            from grasptrajopt_tpu.planning.evaluate import score_plan
+
+            def gate_key(s):
+                # reward first; then partial credit (reached / collision-free);
+                # then closest approach
+                return (
+                    s["reward"],
+                    int(s["reached"]) + int(not s["collision"]),
+                    -s["err_pos"],
+                )
+
+            s0 = score_plan(
+                self.robot, self.link_ee, plan, RT_base, depth_pc_obstacle,
+                base_position, pos_tol=self.rescue_pos_tol,
+                rot_tol_deg=self.rescue_rot_tol_deg,
+            )
+            if s0["reward"] == 0:
+                Q_all, cost_all = self.planner.plan_pergoal_batch(
+                    qc, RT_base, sdf_all, sdf_obs, base_position, q_solutions,
+                    use_standoff=True, axis_standoff=self.axis_standoff,
+                    goal_capacity=cap,
+                )
+                best_key, best_i = gate_key(s0), None
+                for i in range(Q_all.shape[0]):
+                    si = score_plan(
+                        self.robot, self.link_ee, Q_all[i], RT_base[i : i + 1],
+                        depth_pc_obstacle, base_position,
+                        pos_tol=self.rescue_pos_tol,
+                        rot_tol_deg=self.rescue_rot_tol_deg,
+                    )
+                    ki = gate_key(si)
+                    if ki > best_key:
+                        best_key, best_i = ki, i
+                if best_i is not None:
+                    plan = Q_all[best_i]
+                    cost = float(cost_all[best_i])
+                    opt_idx = self.robot.optimized_joint_indexes
+                    dQ = np.zeros((self.robot.ndof, plan.shape[1]))[:, :-1]
+                    dQ[opt_idx, :] = (
+                        plan[opt_idx, 1:] - plan[opt_idx, :-1]
+                    ) / self.planner.dt
+                    rescued = True
+
         planning_time = time.time() - t0
         return PipelineResult(
-            plan, dQ, float(cost[0]), n_grasps, int(keep.sum()), int(found.sum()),
-            checking_time, ik_time, planning_time, "ok",
+            plan, dQ, cost, n_grasps, int(keep.sum()), int(found.sum()),
+            checking_time, ik_time, planning_time, "ok", rescued=rescued,
         )

@@ -264,3 +264,41 @@ class TestGraspPipeline:
         )
         errs = np.linalg.norm(RTs[:, :3, 3] - T_end[:3, 3], axis=1)
         assert errs.min() < 0.03, f"goal errors {errs}"
+
+    def test_pergoal_rescue_batch(self, panda):
+        """The rescue path: every per-goal solve must reach ITS OWN goal
+        (one-hot masks on the shared goal-set program, per-candidate warm
+        starts) — three distinct grasp poses, three independent plans."""
+        robot, cfg = panda
+        ik = IKSolver(robot, cfg["link_ee"], cfg["link_gripper"])
+        ik.setup_optimization(robot.grid)
+
+        RTs = np.tile(PANDA_RT[None], (3, 1, 1))
+        RTs[1, :3, 3] += [0.0, 0.06, 0.0]
+        RTs[2, :3, 3] += [-0.05, 0.0, 0.06]
+        zeros = np.zeros(robot.field_size)
+        q_sols = []
+        for i in range(3):
+            q_sol, err_pos, err_rot, _ = ik.solve_ik(
+                PANDA_DEFAULT, RTs[i], zeros, np.zeros(3), multistart=True
+            )
+            assert err_pos < 0.01 and err_rot < 5.0, (i, err_pos, err_rot)
+            q_sols.append(np.asarray(q_sol))
+        q_solutions = np.stack(q_sols, axis=1)  # (ndof, 3)
+
+        planner = GTOPlanner(
+            robot, cfg["link_ee"], cfg["link_gripper"], iterations=25,
+            single_pass=True,
+        )
+        Q, cost = planner.plan_pergoal_batch(
+            PANDA_DEFAULT, RTs, zeros, zeros, np.zeros(3), q_solutions,
+            axis_standoff=cfg["axis_standoff"], goal_capacity=4,
+        )
+        assert Q.shape == (3, robot.ndof, 50)
+        assert np.isfinite(cost).all()
+        for i in range(3):
+            T_end = np.asarray(
+                robot.get_global_link_transform(cfg["link_ee"], jnp.asarray(Q[i, :, -1]))
+            )
+            err = np.linalg.norm(RTs[i, :3, 3] - T_end[:3, 3])
+            assert err < 0.02, f"goal {i} err {err}"
