@@ -199,10 +199,14 @@ def main():
         shared_scene = False  # stacked measures the per-problem-field path
     # BENCH_CR=1: parallel-in-time cyclic-reduction KKT solve
     cyclic_reduction = os.environ.get("BENCH_CR", "0") == "1"
+    # BENCH_GOALW: terminal goal-row weight (1.0 = reference parity; ~4
+    # counters the deep-standoff rotation equilibrium, docs/PERF.md)
+    goal_weight = float(os.environ.get("BENCH_GOALW", "1.0"))
     planner = GTOPlanner(
         robot, link_ee, link_gripper, iterations=iterations, obstacle_mode=obstacle_mode,
         field_dtype=field_dtype, lm_alphas=lm_alphas, standoff_distance=standoff_distance,
         single_pass=single_pass, cyclic_reduction=cyclic_reduction,
+        goal_weight=goal_weight,
     )
     solvers = planner.setup_optimization(
         goal_size=goal_capacity, use_standoff=True, axis_standoff=axis_standoff

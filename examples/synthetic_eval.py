@@ -43,10 +43,16 @@ from grasptrajopt_tpu.planning.pipeline import GraspPipeline
 from grasptrajopt_tpu.planning.utils import get_data_dir, load_robot_config
 from grasptrajopt_tpu.utils.results import aggregate_results
 
-# scene-type knobs (parity: pybullet_gto_planning.py:91-109)
+# scene-type knobs (parity: pybullet_gto_planning.py:91-109; goal_weight
+# counters the deep-standoff rotation equilibrium at -0.2 — docs/PERF.md)
 SCENE_KNOBS = {
-    "tabletop": dict(standoff_distance=-0.1, orderings=["nearest_first", "random"]),
-    "shelf": dict(standoff_distance=-0.2, orderings=["random"]),
+    "tabletop": dict(
+        standoff_distance=-0.1, orderings=["nearest_first", "random"],
+        goal_weight=1.0,
+    ),
+    "shelf": dict(
+        standoff_distance=-0.2, orderings=["random"], goal_weight=4.0,
+    ),
 }
 
 
@@ -116,6 +122,7 @@ def evaluate_scenes(
         standoff_distance=knobs["standoff_distance"],
         goal_capacity=goal_capacity, grid=robot.grid,
         ik_capacity=goal_capacity, planner_iterations=iterations,
+        goal_weight=knobs.get("goal_weight", 1.0),
     )
     qc = np.asarray(cfg["default_pose"])
     base_position = env.base_position

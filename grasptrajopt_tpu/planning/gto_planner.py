@@ -72,7 +72,16 @@ class GTOPlanner:
         single_pass: bool = False,
         field_term: bool = True,
         cyclic_reduction: bool = False,
+        goal_weight: float = 1.0,
     ):
+        # goal_weight scales the terminal point-match residual rows (final +
+        # standoff). 1.0 = reference parity (gto_planner.py:84-105 implicit
+        # unit weight). At deep standoffs (-0.2) the velocity regularizer of
+        # the longer final approach trades against the goal term and the
+        # converged solution sits at ~5 deg rotation error (docs/PERF.md
+        # standoff investigation); goal_weight ~4 shifts that equilibrium
+        # without touching the collision or smoothness semantics.
+        self.goal_weight = float(goal_weight)
         # cyclic_reduction: parallel-in-time KKT solve
         # (opt/trajectory.py TrajectoryConfig.cyclic_reduction)
         self.cyclic_reduction = cyclic_reduction
@@ -133,7 +142,10 @@ class GTOPlanner:
         grid: Optional[VoxelGrid] = None,
     ):
         """Build (and cache) the jitted solve program for a goal capacity."""
-        key = (goal_size, use_standoff, axis_standoff, grid or self.robot.grid)
+        key = (
+            goal_size, use_standoff, axis_standoff, grid or self.robot.grid,
+            self.goal_weight,
+        )
         if key in self._solvers:
             return self._solvers[key]
 
@@ -147,6 +159,7 @@ class GTOPlanner:
         gpts = self.gripper_points
         pose_standoff = self._standoff_pose(axis_standoff)
         sqrt10 = jnp.asarray(np.sqrt(10.0), dtype)
+        sqrt_gw = jnp.asarray(np.sqrt(self.goal_weight), dtype)
 
         def goal_diffs_from(T_ee, T_grip, tf_goal_one):
             """Point differences (cur - goal-placed) for final and standoff."""
@@ -326,7 +339,9 @@ class GTOPlanner:
             )
             is_final = (t == T - 1).astype(dtype)
             is_stand = (t == t_standoff).astype(dtype) if use_standoff else jnp.asarray(0.0, dtype)
-            parts.append((is_final * d_final + is_stand * d_stand).reshape(-1))
+            parts.append(
+                (sqrt_gw * (is_final * d_final + is_stand * d_stand)).reshape(-1)
+            )
             return jnp.concatenate(parts)
 
         def pre_iteration(Q_opt, params):

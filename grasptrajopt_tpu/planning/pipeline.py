@@ -77,6 +77,7 @@ class GraspPipeline:
         rescue: bool = True,
         rescue_pos_tol: float = 0.02,
         rescue_rot_tol_deg: float = 10.0,
+        goal_weight: float = 1.0,
     ):
         self.robot = robot
         self.gripper_model = gripper_model
@@ -107,10 +108,13 @@ class GraspPipeline:
         self.rescue_pos_tol = rescue_pos_tol
         self.rescue_rot_tol_deg = rescue_rot_tol_deg
 
+        # goal_weight: terminal goal-row weight (1.0 = reference parity);
+        # deep-standoff configs (shelf, -0.2) use ~4 to counter the
+        # rotation-error equilibrium (docs/PERF.md standoff investigation)
         self.planner = GTOPlanner(
             robot, link_ee, link_gripper,
             standoff_distance=standoff_distance, standoff_offset=standoff_offset,
-            iterations=planner_iterations,
+            iterations=planner_iterations, goal_weight=goal_weight,
         )
         self.ik_solver = IKSolver(
             robot, link_ee, link_gripper, collision_avoidance=ik_collision_avoidance,

@@ -202,6 +202,44 @@ class TestGTOPlanner:
         err = np.linalg.norm(T_end[:3, 3] - PANDA_RT[:3, 3])
         assert err < 0.02, f"picked wrong goal? err={err}"
 
+    def test_goal_weight_tightens_deep_standoff(self, panda):
+        """goal_weight > 1 must shift the deep-standoff (-0.2) equilibrium:
+        the terminal rotation error at goal_weight=4 comes out below the
+        parity-default solution's (docs/PERF.md standoff investigation)."""
+        from grasptrajopt_tpu.spatial import r2quat
+        from grasptrajopt_tpu.spatial.quaternion import qangle_deg
+
+        robot, cfg = panda
+        ik = IKSolver(robot, cfg["link_ee"], cfg["link_gripper"])
+        ik.setup_optimization()
+        qc = PANDA_DEFAULT.copy()
+        sdf_zero = np.zeros(robot.field_size)
+        q_sol, *_ = ik.solve_ik(qc, PANDA_RT, sdf_zero, [0, 0, 0], verbose=False)
+
+        def rot_err(goal_weight):
+            planner = GTOPlanner(
+                robot, cfg["link_ee"], cfg["link_gripper"],
+                standoff_distance=-0.2, iterations=30, single_pass=True,
+                goal_weight=goal_weight,
+            )
+            Q, _, _ = planner.plan(
+                qc, PANDA_RT, sdf_zero, [0, 0, 0], q_sol,
+                use_standoff=True, axis_standoff=cfg["axis_standoff"],
+            )
+            T_end = np.asarray(
+                robot.get_global_link_transform(cfg["link_ee"], jnp.asarray(Q[:, -1]))
+            )
+            return float(
+                qangle_deg(
+                    r2quat(jnp.asarray(PANDA_RT[None, :3, :3], robot.dtype)),
+                    r2quat(jnp.asarray(T_end[None, :3, :3], robot.dtype)),
+                )[0]
+            )
+
+        e1, e4 = rot_err(1.0), rot_err(4.0)
+        assert e4 < e1, (e1, e4)
+        assert e4 < 5.0, f"weighted terminal rotation error {e4}"
+
 
 class TestFieldTermEquivalence:
     def test_traj_term_matches_step_residual_path(self, panda):
