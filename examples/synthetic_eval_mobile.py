@@ -147,7 +147,7 @@ def main():
         standoff_distance=knobs["standoff_distance"],
         goal_capacity=args.goal_capacity, grid=robot.grid,
         ik_capacity=args.goal_capacity, planner_iterations=args.iterations,
-        goal_weight=knobs.get("goal_weight", 1.0),
+        goal_weight=knobs.get("goal_weight", {}).get(args.robot, 1.0),
     )
     qc = np.asarray(cfg["default_pose"])
 

@@ -17,6 +17,7 @@ from typing import Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from grasptrajopt_tpu.spatial import r2quat
@@ -64,6 +65,59 @@ def goalset_reach_errors(
     q_ee = r2quat(jnp.asarray(np.broadcast_to(T_ee[:3, :3], (len(d), 3, 3)), robot.dtype))
     rot = np.asarray(qangle_deg(q_goals, q_ee))
     return d, rot
+
+
+def score_plans_pergoal(
+    robot,
+    link_ee: str,
+    plans: np.ndarray,
+    RT_goals: np.ndarray,
+    depth_pc_obstacle,
+    base_position=(0.0, 0.0, 0.0),
+    pos_tol: float = 0.02,
+    rot_tol_deg: float = 10.0,
+    threshold_points: int = 5,
+) -> list:
+    """Score n plans, each against ITS OWN goal, in ONE batched replay.
+
+    plans (n, ndof, T); RT_goals (n, 4, 4) aligned with plans. The whole
+    bundle is FK'd and SDF-queried in a single device program (vs n
+    sequential score_plan round-trips) — the rescue path's scorer.
+    Returns a list of n dicts with the score_plan fields."""
+    plans = np.asarray(plans)
+    RT_goals = np.asarray(RT_goals)
+    n, ndof, T = plans.shape
+    Q_all = jnp.asarray(plans.transpose(0, 2, 1).reshape(n * T, ndof), robot.dtype)
+    pts = robot.fk_surface_points(
+        Q_all, base_position=jnp.asarray(np.asarray(base_position), robot.dtype)
+    )  # (n*T, P, 3)
+    P = pts.shape[1]
+    sdf = np.asarray(depth_pc_obstacle.get_sdf(pts.reshape(-1, 3))).reshape(n, T, P)
+    counts = (sdf < 0).sum(axis=2)  # (n, T)
+    collisions = (counts > threshold_points).any(axis=1)
+
+    finals = jnp.asarray(plans[:, :, -1], robot.dtype)  # (n, ndof)
+    T_ee = np.asarray(
+        jax.vmap(lambda q: robot.get_global_link_transform(link_ee, q))(finals)
+    )  # (n, 4, 4)
+    d = np.linalg.norm(RT_goals[:, :3, 3] - T_ee[:, :3, 3], axis=1)
+    q_goals = r2quat(jnp.asarray(RT_goals[:, :3, :3], robot.dtype))
+    q_ee = r2quat(jnp.asarray(T_ee[:, :3, :3], robot.dtype))
+    rot = np.asarray(qangle_deg(q_goals, q_ee))
+
+    out = []
+    for i in range(n):
+        reached = bool((d[i] < pos_tol) and (rot[i] < rot_tol_deg))
+        collision = bool(collisions[i])
+        out.append({
+            "err_pos": float(d[i]),
+            "err_rot": float(rot[i]),
+            "reached": reached,
+            "collision": collision,
+            "max_inside_points": int(counts[i].max()),
+            "reward": int(reached and not collision),
+        })
+    return out
 
 
 def score_plan(

@@ -451,16 +451,14 @@ class GTOPlanner:
 
     # -- warm starts ----------------------------------------------------------
 
-    def _rank_warm_starts(
-        self, qc, q_solutions, sdf_cost_obstacle, base_position, scene_obstacle=None
-    ):
-        """Interpolate each IK candidate into a seed trajectory and rank by
-        (plan cost, distance) lexicographically (gto_planner.py:196-219)."""
+    def _seed_trajectories(self, qc, q_solutions):
+        """Interpolate each IK candidate (ndof, k) into a (k, T, ndof) seed
+        bundle, param joints pinned at qc — the one home for the seeding
+        semantics shared by the warm-start ranking and the per-goal rescue."""
         robot = self.robot
         dtype = robot.dtype
         qc = jnp.asarray(qc, dtype)
         q_solutions = jnp.asarray(q_solutions, dtype)  # (ndof, k)
-        k = q_solutions.shape[1]
         param_idx = jnp.asarray(robot.parameter_joint_indexes, dtype=int)
 
         def seed_for(q_sol):
@@ -469,7 +467,24 @@ class GTOPlanner:
                 data = data.at[:, param_idx].set(qc[param_idx])
             return data
 
-        seeds = jax.vmap(seed_for)(q_solutions.T)  # (k, T, ndof)
+        return jax.vmap(seed_for)(q_solutions.T)
+
+    def dq_of(self, Q):
+        """Finite-difference joint velocities (ndof, T-1) of an (ndof, T)
+        plan; param joints stay zero (plan_goalset's dQ convention)."""
+        dQ = np.zeros((self.robot.ndof, Q.shape[1] - 1))
+        opt_idx = self.robot.optimized_joint_indexes
+        dQ[opt_idx, :] = (Q[opt_idx, 1:] - Q[opt_idx, :-1]) / self.dt
+        return dQ
+
+    def _rank_warm_starts(
+        self, qc, q_solutions, sdf_cost_obstacle, base_position, scene_obstacle=None
+    ):
+        """Interpolate each IK candidate into a seed trajectory and rank by
+        (plan cost, distance) lexicographically (gto_planner.py:196-219)."""
+        robot = self.robot
+        dtype = robot.dtype
+        seeds = self._seed_trajectories(qc, q_solutions)  # (k, T, ndof)
 
         pts = robot.fk_surface_points(seeds, base_position=jnp.asarray(base_position, dtype))
         if self.obstacle_mode == "points":
@@ -601,10 +616,7 @@ class GTOPlanner:
         Q_opt, cost, aux = solve_one(qc_opt, X0, params)
         Q_full = jax.vmap(lambda col: robot.assemble_q(col, q_param))(Q_opt)  # (T, ndof)
         Q = np.asarray(Q_full).T  # (ndof, T)
-        dQ = np.zeros((robot.ndof, self.T - 1))
-        opt_idx = robot.optimized_joint_indexes
-        dQ[opt_idx, :] = (Q[opt_idx, 1:] - Q[opt_idx, :-1]) / self.dt
-        return Q, dQ, np.asarray(cost).reshape(1)
+        return Q, self.dq_of(Q), np.asarray(cost).reshape(1)
 
     def plan_pergoal_batch(
         self,
@@ -646,24 +658,15 @@ class GTOPlanner:
 
         tf_goal = np.tile(np.eye(4, dtype=np.float32)[None], (cap, 1, 1))
         tf_goal[:n] = RTs
-        # problem b targets goal bidx[b]; padding problems re-solve goal 0
-        # (their plans are sliced away before returning)
+        # problem b targets goal bidx[b]; padding problems re-solve the last
+        # real goal, n-1 (their plans are sliced away before returning)
         bidx = np.minimum(np.arange(cap), n - 1)
         goal_mask = np.zeros((cap, cap), dtype=bool)
         goal_mask[np.arange(cap), bidx] = True
 
         solvers = self.setup_optimization(cap, use_standoff, axis_standoff)
 
-        param_idx = jnp.asarray(robot.parameter_joint_indexes, dtype=int)
-
-        def seed_for(q_sol):
-            data = interpolate_waypoints_jnp(qc, q_sol, self.T)  # (T, ndof)
-            if robot.num_param_joints:
-                data = data.at[:, param_idx].set(qc[param_idx])
-            return data
-
-        q_sols_b = jnp.asarray(q_solutions.T[bidx], dtype)  # (cap, ndof)
-        seeds = jax.vmap(seed_for)(q_sols_b)  # (cap, T, ndof)
+        seeds = self._seed_trajectories(qc, q_solutions[:, bidx])  # (cap, T, ndof)
 
         q_param = robot.extract_parameter_dimensions(qc[:, None])[:, 0]
         qc_opt = robot.extract_optimized_dimensions(qc[:, None])[:, 0]

@@ -212,6 +212,10 @@ class GraspPipeline:
             return PipelineResult(None, None, None, n_grasps, int(keep.sum()), 0,
                                   checking_time, ik_time, 0.0, "no_ik")
 
+        # planning_time counts SOLVE wall time only (goal-set + any rescue
+        # solve) — the reference's planning_time is the Ipopt call
+        # (pybullet_gto_planning.py:287-295); the rescue's scoring replays
+        # are evaluation work the reference never counts either
         t0 = time.time()
         cap = max(self.goal_capacity, RT_base.shape[0])
         plan, dQ, cost = self.planner.plan_goalset(
@@ -220,17 +224,24 @@ class GraspPipeline:
             interpolate=self.interpolate, goal_capacity=cap,
         )
         cost = float(cost[0])
+        planning_time = time.time() - t0
 
         rescued = False
         if self.rescue:
-            from grasptrajopt_tpu.planning.evaluate import score_plan
+            from grasptrajopt_tpu.planning.evaluate import (
+                score_plan,
+                score_plans_pergoal,
+            )
 
             def gate_key(s):
-                # reward first; then partial credit (reached / collision-free);
+                # reward first; then collision-free OVER reached — executing
+                # a plan that is known to collide in replay disturbs the
+                # scene, while a collision-free miss is a no-op; then reach,
                 # then closest approach
                 return (
                     s["reward"],
-                    int(s["reached"]) + int(not s["collision"]),
+                    int(not s["collision"]),
+                    int(s["reached"]),
                     -s["err_pos"],
                 )
 
@@ -240,33 +251,30 @@ class GraspPipeline:
                 rot_tol_deg=self.rescue_rot_tol_deg,
             )
             if s0["reward"] == 0:
+                t1 = time.time()
                 Q_all, cost_all = self.planner.plan_pergoal_batch(
                     qc, RT_base, sdf_all, sdf_obs, base_position, q_solutions,
                     use_standoff=True, axis_standoff=self.axis_standoff,
                     goal_capacity=cap,
                 )
+                planning_time += time.time() - t1
+                scores = score_plans_pergoal(
+                    self.robot, self.link_ee, Q_all, RT_base,
+                    depth_pc_obstacle, base_position,
+                    pos_tol=self.rescue_pos_tol,
+                    rot_tol_deg=self.rescue_rot_tol_deg,
+                )
                 best_key, best_i = gate_key(s0), None
-                for i in range(Q_all.shape[0]):
-                    si = score_plan(
-                        self.robot, self.link_ee, Q_all[i], RT_base[i : i + 1],
-                        depth_pc_obstacle, base_position,
-                        pos_tol=self.rescue_pos_tol,
-                        rot_tol_deg=self.rescue_rot_tol_deg,
-                    )
+                for i, si in enumerate(scores):
                     ki = gate_key(si)
                     if ki > best_key:
                         best_key, best_i = ki, i
                 if best_i is not None:
                     plan = Q_all[best_i]
                     cost = float(cost_all[best_i])
-                    opt_idx = self.robot.optimized_joint_indexes
-                    dQ = np.zeros((self.robot.ndof, plan.shape[1]))[:, :-1]
-                    dQ[opt_idx, :] = (
-                        plan[opt_idx, 1:] - plan[opt_idx, :-1]
-                    ) / self.planner.dt
+                    dQ = self.planner.dq_of(plan)
                     rescued = True
 
-        planning_time = time.time() - t0
         return PipelineResult(
             plan, dQ, cost, n_grasps, int(keep.sum()), int(found.sum()),
             checking_time, ik_time, planning_time, "ok", rescued=rescued,

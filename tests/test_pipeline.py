@@ -265,6 +265,54 @@ class TestGraspPipeline:
         errs = np.linalg.norm(RTs[:, :3, 3] - T_end[:3, 3], axis=1)
         assert errs.min() < 0.03, f"goal errors {errs}"
 
+    def test_rescue_branch_recovers_bad_goalset_plan(self, panda, data_dir):
+        """Drive plan_object's rescue path end-to-end: force the goal-set
+        solve to return a useless constant plan and assert the batched
+        per-goal rescue replaces it with a plan that reaches a goal."""
+        robot, cfg = panda
+        gripper = GTORobotModel(
+            model_dir=f"{data_dir}/robots/panda",
+            urdf_filename=f"{data_dir}/robots/panda/panda_gripper.urdf",
+            dtype=jnp.float64,
+        )
+        pipeline = GraspPipeline(
+            robot, gripper, cfg["link_ee"], cfg["link_gripper"],
+            axis_standoff=cfg["axis_standoff"],
+            gripper_open_offsets=cfg["gripper_open_offsets"],
+            goal_capacity=4,
+        )
+        H = W = 64
+        K = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]])
+        cam_pose = np.eye(4)
+        cam_pose[:3, 3] = [0.45, 0.0, 1.4]
+        cam_pose[:3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]])
+        depth = np.full((H, W), 1.4, dtype=np.float32)
+        target_mask = np.zeros((H, W), dtype=bool)
+        target_mask[28:36, 28:36] = True
+        RTs = np.tile(PANDA_RT[None], (3, 1, 1))
+        RTs[1, 2, 3] += 0.03
+        RTs[2, 1, 3] += 0.03
+
+        def bad_goalset(*args, **kwargs):
+            Q = np.tile(PANDA_DEFAULT[:, None], (1, 50))
+            return Q, np.zeros((robot.ndof, 49)), np.array([1e6])
+
+        pipeline.planner.plan_goalset = bad_goalset
+        result = pipeline.plan_object(
+            PANDA_DEFAULT, depth, K, cam_pose, target_mask, RTs
+        )
+        assert result.stage == "ok"
+        assert result.rescued, "rescue should replace the constant plan"
+        T_end = np.asarray(
+            robot.get_global_link_transform(cfg["link_ee"], jnp.asarray(result.plan[:, -1]))
+        )
+        errs = np.linalg.norm(RTs[:, :3, 3] - T_end[:3, 3], axis=1)
+        assert errs.min() < 0.02, f"rescued plan goal errors {errs}"
+        # dQ of the rescued plan follows the planner's convention
+        np.testing.assert_allclose(
+            result.dQ, pipeline.planner.dq_of(result.plan), atol=1e-12
+        )
+
     def test_pergoal_rescue_batch(self, panda):
         """The rescue path: every per-goal solve must reach ITS OWN goal
         (one-hot masks on the shared goal-set program, per-candidate warm
