@@ -51,11 +51,14 @@ from grasptrajopt_tpu.utils.results import aggregate_results
 SCENE_KNOBS = {
     "tabletop": dict(
         standoff_distance=-0.1, orderings=["nearest_first", "random"],
-        goal_weight={},
+        goal_weight={}, interpolate=True,
     ),
+    # interpolate=False mirrors the reference's shelf warm start
+    # (pybullet_gto_planning.py:102-103: interpolated seeds sweep through
+    # the shelf; the constant-qc seed with the IK tail does not)
     "shelf": dict(
         standoff_distance=-0.2, orderings=["random"],
-        goal_weight={"panda": 4.0},
+        goal_weight={"panda": 4.0}, interpolate=False,
     ),
 }
 
@@ -127,6 +130,7 @@ def evaluate_scenes(
         goal_capacity=goal_capacity, grid=robot.grid,
         ik_capacity=goal_capacity, planner_iterations=iterations,
         goal_weight=knobs.get("goal_weight", {}).get(cfg["robot_name"], 1.0),
+        interpolate=knobs.get("interpolate", True),
     )
     qc = np.asarray(cfg["default_pose"])
     base_position = env.base_position
