@@ -202,11 +202,14 @@ def main():
     # BENCH_GOALW: terminal goal-row weight (1.0 = reference parity; ~4
     # counters the deep-standoff rotation equilibrium, docs/PERF.md)
     goal_weight = float(os.environ.get("BENCH_GOALW", "1.0"))
+    # BENCH_T: trajectory horizon (50 = reference parity; long horizons
+    # pair with BENCH_CR=1 for the parallel-in-time KKT solve)
+    horizon = int(os.environ.get("BENCH_T", "50"))
     planner = GTOPlanner(
         robot, link_ee, link_gripper, iterations=iterations, obstacle_mode=obstacle_mode,
         field_dtype=field_dtype, lm_alphas=lm_alphas, standoff_distance=standoff_distance,
         single_pass=single_pass, cyclic_reduction=cyclic_reduction,
-        goal_weight=goal_weight,
+        goal_weight=goal_weight, T=horizon,
     )
     solvers = planner.setup_optimization(
         goal_size=goal_capacity, use_standoff=True, axis_standoff=axis_standoff

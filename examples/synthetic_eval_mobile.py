@@ -148,6 +148,7 @@ def main():
         goal_capacity=args.goal_capacity, grid=robot.grid,
         ik_capacity=args.goal_capacity, planner_iterations=args.iterations,
         goal_weight=knobs.get("goal_weight", {}).get(args.robot, 1.0),
+        interpolate=knobs.get("interpolate", True),
     )
     qc = np.asarray(cfg["default_pose"])
 

@@ -73,7 +73,15 @@ class GTOPlanner:
         field_term: bool = True,
         cyclic_reduction: bool = False,
         goal_weight: float = 1.0,
+        T: int = 50,
+        Tmax: float = 10.0,
     ):
+        # T/Tmax: trajectory horizon (reference fixes T=50 over 10 s,
+        # gto_planner.py:25-28). The horizon is an array axis here, so long
+        # horizons are a parameter, not a rebuild; pair large T with
+        # cyclic_reduction=True for the parallel-in-time KKT solve
+        # (log2(T) levels instead of a 2T-step scan — SURVEY §5's
+        # long-context analog).
         # goal_weight scales the terminal point-match residual rows (final +
         # standoff). 1.0 = reference parity (gto_planner.py:84-105 implicit
         # unit weight). At deep standoffs (-0.2) the velocity regularizer of
@@ -109,8 +117,8 @@ class GTOPlanner:
         #   (ops.signed_distance_to_set: MXU min-distance + normal sign).
         self.obstacle_mode = obstacle_mode
         self.sdf_epsilon = sdf_epsilon
-        self.T = 50
-        self.Tmax = 10.0
+        self.T = int(T)
+        self.Tmax = float(Tmax)
         self.dt = self.Tmax / (self.T - 1)
         self.standoff_distance = standoff_distance
         self.standoff_offset = standoff_offset

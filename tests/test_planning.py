@@ -202,6 +202,34 @@ class TestGTOPlanner:
         err = np.linalg.norm(T_end[:3, 3] - PANDA_RT[:3, 3])
         assert err < 0.02, f"picked wrong goal? err={err}"
 
+    def test_long_horizon_T100_cyclic_reduction(self, panda):
+        """The horizon is a parameter, not a rebuild: T=100 over 10 s with
+        the parallel-in-time cyclic-reduction KKT solve reaches the goal
+        (SURVEY §5 long-context analog; reference hardcodes T=50)."""
+        robot, cfg = panda
+        ik = IKSolver(robot, cfg["link_ee"], cfg["link_gripper"])
+        ik.setup_optimization()
+        qc = PANDA_DEFAULT.copy()
+        sdf_zero = np.zeros(robot.field_size)
+        q_sol, *_ = ik.solve_ik(qc, PANDA_RT, sdf_zero, [0, 0, 0], verbose=False)
+
+        planner = GTOPlanner(
+            robot, cfg["link_ee"], cfg["link_gripper"], T=100,
+            iterations=30, single_pass=True, cyclic_reduction=True,
+        )
+        Q, dQ, cost = planner.plan(
+            qc, PANDA_RT, sdf_zero, [0, 0, 0], q_sol,
+            use_standoff=True, axis_standoff=cfg["axis_standoff"],
+        )
+        assert Q.shape == (robot.ndof, 100)
+        assert dQ.shape == (robot.ndof, 99)
+        np.testing.assert_allclose(Q[:, 0], qc, atol=1e-9)
+        T_end = np.asarray(
+            robot.get_global_link_transform(cfg["link_gripper"], jnp.asarray(Q[:, -1]))
+        )
+        err_end = np.linalg.norm(T_end[:3, 3] - PANDA_RT[:3, 3])
+        assert err_end < 0.02, f"T=100 final gripper position error {err_end}"
+
     def test_goal_weight_tightens_deep_standoff(self, panda):
         """goal_weight > 1 must shift the deep-standoff (-0.2) equilibrium:
         the terminal rotation error at goal_weight=4 comes out below the
