@@ -133,6 +133,19 @@ def main():
         pass
     import jax.numpy as jnp
 
+    # Device-init retry: the axon relay occasionally drops; a transient
+    # blip should not kill the whole bench run. A dead relay still fails
+    # loudly after the retries (never silently fall back to CPU numbers).
+    for attempt in range(int(os.environ.get("BENCH_INIT_RETRIES", "4"))):
+        try:
+            jax.devices()
+            break
+        except Exception as e:
+            print(f"device init attempt {attempt + 1} failed: {e}", file=sys.stderr)
+            time.sleep(45)
+    else:
+        jax.devices()  # raise the real error
+
     from grasptrajopt_tpu.planning.gto_planner import GTOPlanner
     from grasptrajopt_tpu.planning.gto_models import GTORobotModel
 
