@@ -100,11 +100,12 @@ def main():
     # Configuration via env for experimentation; defaults sized for one chip.
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     goal_capacity = int(os.environ.get("BENCH_GOALS", "8"))
-    # 15 LM iterations: the lowest budget validated both on the bench
-    # quality gates AND closed-loop (12/12 tabletop success at 15 — see
-    # docs/PERF.md iteration-budget sweep). The reference runs Ipopt with
-    # up to 100 interior-point iterations on the same warm-start scheme.
-    iterations = int(os.environ.get("BENCH_ITERS", "15"))
+    # 10 LM iterations: the lowest budget validated on the bench quality
+    # gates in EVERY config (panda shared/per-problem/fetch/deep-standoff)
+    # AND closed-loop (12/12 tabletop success at 10 — docs/PERF.md
+    # iteration-budget sweep). The reference runs Ipopt with up to 100
+    # interior-point iterations on the same warm-start scheme.
+    iterations = int(os.environ.get("BENCH_ITERS", "10"))
     points_per_link = int(os.environ.get("BENCH_PPL", "100"))
     reps = int(os.environ.get("BENCH_REPS", "2"))
     robot_name = os.environ.get("BENCH_ROBOT", "panda")
