@@ -71,7 +71,7 @@ def make_args():
     p.add_argument("--n_objects", type=int, default=5)
     p.add_argument("--width", type=int, default=160)
     p.add_argument("--height", type=int, default=160)
-    p.add_argument("--goal_capacity", type=int, default=16)
+    p.add_argument("--goal_capacity", type=int, default=32)
     p.add_argument("--iterations", type=int, default=50)
     p.add_argument("--outdir", default="results")
     p.add_argument("--data_dir", default=None)
@@ -108,7 +108,7 @@ def evaluate_scenes(
     n_objects: int = 5,
     width: int = 160,
     height: int = 160,
-    goal_capacity: int = 16,
+    goal_capacity: int = 32,
     iterations: int = 50,
     orderings=None,
     verbose: bool = True,

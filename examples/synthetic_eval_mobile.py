@@ -57,7 +57,7 @@ def make_args():
     p.add_argument("--n_objects", type=int, default=5)
     p.add_argument("--width", type=int, default=160)
     p.add_argument("--height", type=int, default=160)
-    p.add_argument("--goal_capacity", type=int, default=16)
+    p.add_argument("--goal_capacity", type=int, default=32)
     p.add_argument("--iterations", type=int, default=50)
     p.add_argument("--start_pose", default="-0.8,0.3,-0.3", help="x,y,yaw parked base")
     p.add_argument("--outdir", default="results")

@@ -78,15 +78,19 @@ MAX_WIDTH = 0.075  # graspable span (panda max opening 0.08)
 def cylinder_grasps(r: float, h: float, n_side: int = 8, n_top: int = 4,
                     convention: Optional[Dict] = None) -> List[np.ndarray]:
     """Antipodal grasps of an upright cylinder (object origin: bottom
-    center). Side pinches around the barrel; top-down pinches across the
-    rim when the diameter fits the gripper."""
+    center). Side pinches around the barrel at two heights (shelf scenes
+    often block one band — near the board below, or under the board
+    above); top-down pinches across the rim when the diameter fits the
+    gripper. The height spread mirrors the diversity of the reference's
+    per-object grasp databases (~50-100 grasps/object)."""
     conv = convention or GRASP_CONVENTIONS["panda"]
     out = []
     if 2 * r <= MAX_WIDTH:
-        for phi in np.linspace(0, 2 * np.pi, n_side, endpoint=False):
-            a = np.array([-np.cos(phi), -np.sin(phi), 0.0])
-            point = np.array([0.0, 0.0, 0.55 * h]) - a * (r - GRASP_DEPTH)
-            out.append(grasp_pose(point, a, [-np.sin(phi), np.cos(phi), 0.0], conv))
+        for frac in (0.45, 0.7):
+            for phi in np.linspace(0, 2 * np.pi, n_side, endpoint=False):
+                a = np.array([-np.cos(phi), -np.sin(phi), 0.0])
+                point = np.array([0.0, 0.0, frac * h]) - a * (r - GRASP_DEPTH)
+                out.append(grasp_pose(point, a, [-np.sin(phi), np.cos(phi), 0.0], conv))
         for psi in np.linspace(0, 2 * np.pi, n_top, endpoint=False):
             point = np.array([0.0, 0.0, h - GRASP_DEPTH])
             out.append(grasp_pose(point, [0, 0, -1.0], [np.cos(psi), np.sin(psi), 0.0], conv))
@@ -95,25 +99,34 @@ def cylinder_grasps(r: float, h: float, n_side: int = 8, n_top: int = 4,
 
 def box_grasps(sx: float, sy: float, sz: float, convention: Optional[Dict] = None) -> List[np.ndarray]:
     """Antipodal grasps of an axis-aligned box (origin: bottom center):
-    top-down across each graspable horizontal span, side pinches through
-    the faces perpendicular to a graspable span."""
+    top-down across each graspable horizontal span (with slide offsets
+    along the free span), side pinches through the faces perpendicular to
+    a graspable span at two heights. The added diversity mirrors the
+    reference's per-object grasp databases and matters most in shelves,
+    where clearance blocks whole grasp families."""
     conv = convention or GRASP_CONVENTIONS["panda"]
     out = []
-    z_top = np.array([0.0, 0.0, sz - GRASP_DEPTH])
-    if sx <= MAX_WIDTH:  # closing along x
-        for flip in (1.0, -1.0):
-            out.append(grasp_pose(z_top, [0, 0, -1.0], [flip, 0.0, 0.0], conv))
-        for sign in (1.0, -1.0):  # approach along -+y
-            a = np.array([0.0, -sign, 0.0])
-            point = np.array([0.0, sign * (sy / 2 - GRASP_DEPTH), 0.6 * sz])
-            out.append(grasp_pose(point, a, [1.0, 0.0, 0.0], conv))
-    if sy <= MAX_WIDTH:  # closing along y
-        for flip in (1.0, -1.0):
-            out.append(grasp_pose(z_top, [0, 0, -1.0], [0.0, flip, 0.0], conv))
-        for sign in (1.0, -1.0):  # approach along -+x
-            a = np.array([-sign, 0.0, 0.0])
-            point = np.array([sign * (sx / 2 - GRASP_DEPTH), 0.0, 0.6 * sz])
-            out.append(grasp_pose(point, a, [0.0, 1.0, 0.0], conv))
+
+    def span_grasps(close_ax: np.ndarray, free_ax: np.ndarray, free_len: float):
+        # top-down, sliding along the free span
+        z_top = np.array([0.0, 0.0, sz - GRASP_DEPTH])
+        off_max = min(0.25 * free_len, 0.05)
+        offsets = (0.0,) if off_max < 0.015 else (-off_max, 0.0, off_max)
+        for off in offsets:
+            for flip in (1.0, -1.0):
+                out.append(grasp_pose(z_top + off * free_ax, [0, 0, -1.0], flip * close_ax, conv))
+        # side pinches approaching along -+free_ax, at two heights
+        fracs = (0.6,) if sz < 0.06 else (0.45, 0.7)
+        for frac in fracs:
+            for sign in (1.0, -1.0):
+                a = -sign * free_ax
+                point = sign * (free_len / 2 - GRASP_DEPTH) * free_ax + np.array([0.0, 0.0, frac * sz])
+                out.append(grasp_pose(point, a, close_ax, conv))
+
+    if sx <= MAX_WIDTH:  # closing along x, free span along y
+        span_grasps(np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]), sy)
+    if sy <= MAX_WIDTH:  # closing along y, free span along x
+        span_grasps(np.array([0.0, 1.0, 0.0]), np.array([1.0, 0.0, 0.0]), sx)
     return out
 
 
