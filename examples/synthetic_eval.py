@@ -52,13 +52,19 @@ SCENE_KNOBS = {
     "tabletop": dict(
         standoff_distance=-0.1, orderings=["nearest_first", "random"],
         goal_weight={}, interpolate=True,
+        grid_resolution=0.05, field_epsilon=0.02,
     ),
     # interpolate=False mirrors the reference's shelf warm start
     # (pybullet_gto_planning.py:102-103: interpolated seeds sweep through
-    # the shelf; the constant-qc seed with the IK tail does not)
+    # the shelf; the constant-qc seed with the IK tail does not).
+    # grid_resolution 0.025: the parity 5 cm grid undersamples the 2 cm
+    # cost band and cannot represent thin-object clearance in the tight
+    # shelf (potted_meat_can / gelatin_box replay collisions); the finer
+    # grid is a fidelity knob the CPU reference cannot afford.
     "shelf": dict(
         standoff_distance=-0.2, orderings=["random"],
         goal_weight={"panda": 4.0}, interpolate=False,
+        grid_resolution=0.025, field_epsilon=0.02, field_downsample=0.01,
     ),
 }
 
@@ -75,10 +81,14 @@ def make_args():
     p.add_argument("--iterations", type=int, default=50)
     p.add_argument("--outdir", default="results")
     p.add_argument("--data_dir", default=None)
+    p.add_argument("--grid_resolution", type=float, default=None,
+                   help="override the scene-type knob (m/voxel)")
+    p.add_argument("--field_epsilon", type=float, default=None,
+                   help="override the scene-type cost-band knob (m)")
     return p.parse_args()
 
 
-def build_models(robot_name: str, data_dir: str):
+def build_models(robot_name: str, data_dir: str, grid_resolution: float = 0.05):
     cfg = load_robot_config(robot_name, data_dir)
     urdf_rel = cfg["urdf_robot_path"].split("data/", 1)[-1]
     grip_rel = cfg["urdf_gripper_path"].split("data/", 1)[-1]
@@ -88,6 +98,7 @@ def build_models(robot_name: str, data_dir: str):
         time_derivs=[0, 1],
         param_joints=cfg["param_joints"],
         collision_link_names=cfg["collision_link_names"],
+        grid_resolution=grid_resolution,
         dtype=jnp.float64,
     )
     robot.setup_workspace_field(arm_len=cfg["arm_len"], arm_height=cfg["arm_height"])
@@ -112,11 +123,18 @@ def evaluate_scenes(
     iterations: int = 50,
     orderings=None,
     verbose: bool = True,
+    field_epsilon: float = None,
 ):
     """Run the full pipeline over synthetic scenes; returns the result dict
-    in the reference schema plus collision statistics."""
+    in the reference schema plus collision statistics.
+
+    The caller owns the grid resolution (build the robot's workspace field
+    at SCENE_KNOBS[scene_type]['grid_resolution']); field_epsilon defaults
+    to the scene-type knob."""
     knobs = SCENE_KNOBS[scene_type]
     orderings = orderings or knobs["orderings"]
+    if field_epsilon is None:
+        field_epsilon = knobs.get("field_epsilon", 0.02)
     env = SyntheticSceneEnv(
         robot_name=cfg["robot_name"], scene_type=scene_type,
         n_objects=n_objects, width=width, height=height,
@@ -131,6 +149,8 @@ def evaluate_scenes(
         ik_capacity=goal_capacity, planner_iterations=iterations,
         goal_weight=knobs.get("goal_weight", {}).get(cfg["robot_name"], 1.0),
         interpolate=knobs.get("interpolate", True),
+        field_epsilon=field_epsilon,
+        field_downsample=knobs.get("field_downsample"),
     )
     qc = np.asarray(cfg["default_pose"])
     base_position = env.base_position
@@ -193,7 +213,15 @@ def evaluate_scenes(
 def main():
     args = make_args()
     data_dir = args.data_dir or get_data_dir()
-    robot, gripper, cfg = build_models(args.robot, data_dir)
+    knobs = SCENE_KNOBS[args.scene_type]
+    grid_resolution = (
+        args.grid_resolution
+        if args.grid_resolution is not None
+        else knobs.get("grid_resolution", 0.05)
+    )
+    robot, gripper, cfg = build_models(
+        args.robot, data_dir, grid_resolution=grid_resolution
+    )
     scene_ids = [int(s) for s in args.scene_ids.split(",")]
 
     t0 = time.time()
@@ -202,6 +230,7 @@ def main():
         scene_type=args.scene_type, scene_ids=scene_ids,
         n_objects=args.n_objects, width=args.width, height=args.height,
         goal_capacity=args.goal_capacity, iterations=args.iterations,
+        field_epsilon=args.field_epsilon,
     )
     elapsed = time.time() - t0
 

@@ -142,6 +142,41 @@ class DepthPointCloud:
         """Shaped obstacle cost at query points (the planner's field values)."""
         return sdf_cost_shaping(self.get_sdf(query_points), epsilon, w_inside)
 
+    def downsampled(self, voxel: float, capacity_step: int = 2048, dtype=jnp.float32):
+        """A query-equivalent view with a voxel-deduplicated point set.
+
+        Keeps one cloud point per `voxel`-sized cell (distance error
+        <= voxel/2 in the worst case) and pads the set to a multiple of
+        `capacity_step` so repeated builds across scenes reuse one compiled
+        program. The depth image / camera (the sign test) are shared with
+        the parent; `dtype` (default f32) sets the compute precision of the
+        distance reduction — a dense field build is a pure MACs problem and
+        never needs f64. Used by the fine-grid shelf field builds
+        (GraspPipeline field_downsample); the default build path is
+        untouched.
+        """
+        pts = self.points
+        if voxel and voxel > 0 and pts.shape[0] > 0:
+            cells = np.floor(pts / voxel).astype(np.int64)
+            _, keep = np.unique(cells, axis=0, return_index=True)
+            pts = pts[np.sort(keep)]
+        n = max(int(pts.shape[0]), 1)
+        cap = -(-n // capacity_step) * capacity_step
+        padded = np.zeros((cap, 3), dtype=np.dtype(dtype))
+        padded[:n] = pts[:n]
+        valid = np.zeros((cap,), dtype=bool)
+        valid[:n] = True
+
+        view = object.__new__(DepthPointCloud)
+        view.depth = self.depth.astype(dtype)
+        view.height, view.width = self.height, self.width
+        view.intrinsic_matrix = self.intrinsic_matrix.astype(dtype)
+        view.camera_pose = self.camera_pose.astype(dtype)
+        view.threshold = self.threshold
+        view.points_padded = jnp.asarray(padded)
+        view.valid = jnp.asarray(valid)
+        return view
+
     def build_cost_field(self, grid, epsilon: float = 0.02, w_inside: float = 1.0):
         """Dense flat cost field over a VoxelGrid — the `sdf_cost_*` parameter
         the planners consume (pybullet_gto_planning.py:181,190)."""

@@ -45,6 +45,7 @@ class GTORobotModel(RobotModel):
         param_joints: Sequence[str] = (),
         collision_link_names: Optional[List[str]] = None,
         points_per_link: int = 100,
+        grid_resolution: float = 0.05,
         dtype=jnp.float32,
     ):
         super().__init__(
@@ -61,7 +62,12 @@ class GTORobotModel(RobotModel):
         self.collision_link_names = collision_link_names
         self.points_per_link = points_per_link
         self.field_margin = 0.4
-        self.grid_resolution = 0.05
+        # reference parity default 0.05 m (gto/gto_models.py:45-46). The
+        # reference is pinned to 5 cm by CPU field-build cost; here it is a
+        # fidelity knob — thin-object clearance in shelf scenes needs finer
+        # sampling than the 2 cm cost band allows at 5 cm voxels (the band
+        # is below the grid's Nyquist rate; docs/PERF.md shelf study).
+        self.grid_resolution = float(grid_resolution)
 
         self.surface_pc_map: Dict[str, SurfacePointCloud] = self.compute_link_surface_points()
         self._stack_surface_points()

@@ -78,6 +78,8 @@ class GraspPipeline:
         rescue_pos_tol: float = 0.02,
         rescue_rot_tol_deg: float = 10.0,
         goal_weight: float = 1.0,
+        field_epsilon: float = 0.02,
+        field_downsample: Optional[float] = None,
     ):
         self.robot = robot
         self.gripper_model = gripper_model
@@ -107,6 +109,18 @@ class GraspPipeline:
         self.rescue = rescue
         self.rescue_pos_tol = rescue_pos_tol
         self.rescue_rot_tol_deg = rescue_rot_tol_deg
+        # field_epsilon: the cost band of the SDF cost fields (reference
+        # parity 0.02, gto/gto_models.py get_sdf_cost). At the parity 5 cm
+        # grid the 2 cm band is below the grid's Nyquist rate; pairing a
+        # finer grid (GTORobotModel grid_resolution) with the parity band —
+        # or a wider band at 5 cm — buys thin-object clearance in shelves.
+        self.field_epsilon = float(field_epsilon)
+        # field_downsample: voxel size (m) for deduplicating the scene cloud
+        # before the DENSE field builds only (exact-query stages — grasp
+        # filter, rescue replay scoring — keep the full cloud). A fine grid
+        # multiplies build cost by (0.05/res)^3; a 1 cm dedup of the ~25k-pt
+        # depth cloud keeps that build tractable with <= 5 mm distance error.
+        self.field_downsample = field_downsample
 
         # goal_weight: terminal goal-row weight (1.0 = reference parity);
         # deep-standoff configs (shelf, -0.2) use ~4 to counter the
@@ -134,14 +148,25 @@ class GraspPipeline:
         else:
             self.robot.setup_points_field(depth_pc.points)
             grid = self.robot.grid
-        sdf_cost_all = np.asarray(depth_pc.build_cost_field(grid))
+        def dense_builder(dpc):
+            if self.field_downsample:
+                return dpc.downsampled(self.field_downsample)
+            return dpc
+
+        sdf_cost_all = np.asarray(
+            dense_builder(depth_pc).build_cost_field(grid, epsilon=self.field_epsilon)
+        )
 
         depth_obstacle = np.array(depth, copy=True)
         depth_obstacle[np.asarray(target_mask)] = self.depth_threshold
         depth_pc_obstacle = DepthPointCloud(
             depth_obstacle, K, cam_pose, target_mask, threshold=self.depth_threshold
         )
-        sdf_cost_obstacle = np.asarray(depth_pc_obstacle.build_cost_field(grid))
+        sdf_cost_obstacle = np.asarray(
+            dense_builder(depth_pc_obstacle).build_cost_field(
+                grid, epsilon=self.field_epsilon
+            )
+        )
         self.ik_solver.setup_optimization(grid)
         return depth_pc, depth_pc_obstacle, sdf_cost_all, sdf_cost_obstacle
 

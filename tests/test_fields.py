@@ -288,6 +288,32 @@ class TestDepthPointCloud:
         assert (field3[:, :, -1] > 0).all()  # cells behind wall cost > 0
         assert (field3[:, :, 0] == 0).all()  # cells well in front cost 0
 
+    def test_downsampled_view(self):
+        # the dense-build accelerator: voxel-deduplicated padded point set,
+        # shared depth image (sign test), f32 compute; distances agree with
+        # the full cloud to within the dedup voxel's half-diagonal
+        depth, K, pose = self._flat_wall_scene()
+        pc = DepthPointCloud(depth, K, pose, dtype=jnp.float64)
+        voxel = 0.02
+        small = pc.downsampled(voxel, capacity_step=256)
+        assert small.points_padded.shape[0] % 256 == 0
+        n_small = int(np.asarray(small.valid).sum())
+        assert 0 < n_small < pc.points.shape[0]
+
+        q = np.array([[0.0, 0.0, 0.5], [0.1, -0.1, 0.9], [0.0, 0.0, 1.3]])
+        sd_full = np.asarray(pc.get_sdf(jnp.asarray(q)))
+        sd_small = np.asarray(small.get_sdf(jnp.asarray(q, np.float32)))
+        np.testing.assert_array_equal(np.sign(sd_full), np.sign(sd_small))
+        assert np.abs(np.abs(sd_full) - np.abs(sd_small)).max() <= voxel * np.sqrt(3) / 2 + 1e-6
+
+        grid = VoxelGrid(origin=(-0.2, -0.2, 0.6), shape=(8, 8, 16), resolution=0.05)
+        f_full = np.asarray(pc.build_cost_field(grid))
+        f_small = np.asarray(small.build_cost_field(grid))
+        # shaped costs stay close (band eps=0.02, error <= half-diagonal)
+        assert np.abs(f_full - f_small).max() < 0.05
+        # far-field zeros are preserved exactly
+        assert (f_small.reshape(grid.shape)[:, :, 0] == 0).all()
+
 
 class TestSdfProgram:
     """The reference's SDFCallback __main__ is the pattern here: random
