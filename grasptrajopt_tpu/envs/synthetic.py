@@ -285,8 +285,12 @@ class SyntheticSceneEnv:
     def _placement_region(self):
         if self.scene_type == "tabletop":
             return (0.40, 0.66), (-0.26, 0.26), self.TABLE_HEIGHT
-        # single reachable shelf level
-        return (0.74, 0.80), (-0.28, 0.28), float(self.SHELF_POS[2])
+        # single reachable shelf level, using the usable board depth (board
+        # spans x 0.48-0.83; stay clear of the front edge and the back wall).
+        # The original deep-only strip (0.74-0.80) could not fit 5 objects
+        # with clearance and the sampler fell through to OVERLAPPING
+        # placements in every scene — physically invalid benchmarks.
+        return (0.60, 0.80), (-0.28, 0.28), float(self.SHELF_POS[2])
 
     def setup_scene(self, scene_id: int) -> Dict:
         """Choose + place `n_objects` catalog objects deterministically from
@@ -301,7 +305,8 @@ class SyntheticSceneEnv:
         placed: List[_PlacedObject] = []
         for uid, name in enumerate(sel):
             obj = self.catalog[name]
-            for _ in range(200):
+            ok = False
+            for _ in range(500):
                 x = rng.uniform(x0, x1)
                 y = rng.uniform(y0, y1)
                 ok = all(
@@ -311,6 +316,10 @@ class SyntheticSceneEnv:
                 )
                 if ok:
                     break
+            if not ok:
+                # never place interpenetrating objects — a scene with fewer
+                # objects is a valid benchmark; an unphysical one is not
+                continue
             yaw = rng.uniform(-np.pi, np.pi)
             c, s = np.cos(yaw), np.sin(yaw)
             pose = np.eye(4)
@@ -360,6 +369,34 @@ class SyntheticSceneEnv:
             eye = self.base_position + [0.0, 0.0, 0.9]
             target = [float(self.SHELF_POS[0]) - 0.12, 0.0, float(self.SHELF_POS[2]) + 0.12]
         return look_at_pose(eye, target)
+
+    def camera_poses(self, n_views: int = 1) -> List[np.ndarray]:
+        """Head camera plus, for n_views >= 2, a complementary vantage.
+
+        A single head-height view leaves an occlusion band under the upper
+        shelf board that the visibility sign test marks 'inside' — blocking
+        every deep-shelf wrist posture in both planning and replay (the
+        dominant synthetic-shelf failure, docs/PERF.md). The second view
+        looks into the gap from the opposite vertical side, the way a real
+        robot would peek before reaching (the reference's fetch re-aims its
+        head camera with look_at, pybullet_api.py:364-383)."""
+        poses = [self.camera_pose()]
+        if n_views >= 2:
+            if self.scene_type == "shelf":
+                x, _, z = self.SHELF_POS
+                gap_mid = z + 0.2
+                head_z = float(self.base_position[2]) + 0.9
+                if head_z > gap_mid:  # head above the gap -> peek from below
+                    eye = [float(self.base_position[0]) + 0.15, 0.0, gap_mid - 0.15]
+                    target = [x - 0.12, 0.0, z + 0.3]
+                else:  # head below -> peek from above
+                    eye = [float(self.base_position[0]) + 0.15, 0.0, gap_mid + 0.25]
+                    target = [x - 0.12, 0.0, z + 0.1]
+            else:
+                eye = self.base_position + [0.25, 0.45, 0.75]
+                target = [0.58, 0.0, self.TABLE_HEIGHT]
+            poses.append(look_at_pose(np.asarray(eye, float), np.asarray(target, float)))
+        return poses[:n_views]
 
     def get_observation(self, cam_pose: Optional[np.ndarray] = None):
         """(depth, mask, cam_pose, K): depth in meters, mask = per-pixel

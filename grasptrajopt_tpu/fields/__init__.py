@@ -7,7 +7,10 @@ host-side parity APIs for asset preparation.
 """
 
 from grasptrajopt_tpu.fields.voxel_grid import VoxelGrid, OccupancyGrid2D
-from grasptrajopt_tpu.fields.depth_point_cloud import DepthPointCloud
+from grasptrajopt_tpu.fields.depth_point_cloud import (
+    DepthPointCloud,
+    FusedDepthPointCloud,
+)
 from grasptrajopt_tpu.fields.surface_point_cloud import (
     SurfacePointCloud,
     get_surface_point_cloud,
@@ -31,6 +34,7 @@ __all__ = [
     "VoxelGrid",
     "OccupancyGrid2D",
     "DepthPointCloud",
+    "FusedDepthPointCloud",
     "SurfacePointCloud",
     "get_surface_point_cloud",
     "mesh_to_sdf",

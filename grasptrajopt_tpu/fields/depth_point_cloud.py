@@ -177,6 +177,18 @@ class DepthPointCloud:
         view.valid = jnp.asarray(valid)
         return view
 
+    def _sign_shell(self, dtype):
+        """Camera-only copy (depth/K/pose cast to dtype) for is_outside."""
+        shell = object.__new__(DepthPointCloud)
+        shell.depth = self.depth.astype(dtype)
+        shell.height, shell.width = self.height, self.width
+        shell.intrinsic_matrix = self.intrinsic_matrix.astype(dtype)
+        shell.camera_pose = self.camera_pose.astype(dtype)
+        shell.threshold = self.threshold
+        shell.points_padded = self.points_padded
+        shell.valid = self.valid
+        return shell
+
     def build_cost_field(self, grid, epsilon: float = 0.02, w_inside: float = 1.0):
         """Dense flat cost field over a VoxelGrid — the `sdf_cost_*` parameter
         the planners consume (pybullet_gto_planning.py:181,190)."""
@@ -186,3 +198,55 @@ class DepthPointCloud:
     def get_sdf_in_batches(self, query_points, batch_size: int = 1_000_000):
         """Parity shim: batching is handled inside min_sqdist already."""
         return self.get_sdf(query_points)
+
+
+class FusedDepthPointCloud(DepthPointCloud):
+    """Multi-view fusion of depth observations (no reference equivalent —
+    /root/reference/mesh_to_sdf/depth_point_cloud.py is single-view).
+
+    Points are the union of every view's cloud; the visibility sign test is
+    the union of free space: a query is OUTSIDE when ANY view observes it in
+    front of its measured surface. This carves the occlusion bands a single
+    camera cannot see (e.g. the underside of an upper shelf board, which a
+    head-height camera marks 'inside' and thereby blocks every deep-shelf
+    approach — the dominant synthetic-shelf failure mode, docs/PERF.md).
+
+    All query methods (get_sdf / get_sdf_cost / build_cost_field) are
+    inherited — they only touch points_padded / valid / is_outside.
+    """
+
+    def __init__(self, views):
+        views = list(views)
+        if not views:
+            raise ValueError("FusedDepthPointCloud needs at least one view")
+        self.views = views
+        v0 = views[0]
+        # dtype carrier for inherited query methods
+        self.depth = v0.depth
+        self.height, self.width = v0.height, v0.width
+        self.intrinsic_matrix = v0.intrinsic_matrix
+        self.camera_pose = v0.camera_pose
+        self.threshold = v0.threshold
+        self.points_padded = jnp.concatenate([v.points_padded for v in views])
+        self.valid = jnp.concatenate([v.valid for v in views])
+
+    def is_outside(self, query_points):
+        out = self.views[0].is_outside(query_points)
+        for v in self.views[1:]:
+            out = jnp.logical_or(out, v.is_outside(query_points))
+        return out
+
+    def downsampled(self, voxel: float, capacity_step: int = 2048, dtype=jnp.float32):
+        """Fused view with a voxel-deduplicated union point set; the sign
+        test keeps every view's depth image."""
+        base = DepthPointCloud.downsampled(self, voxel, capacity_step, dtype)
+        fused = object.__new__(FusedDepthPointCloud)
+        fused.views = [v._sign_shell(dtype) for v in self.views]
+        fused.depth = base.depth
+        fused.height, fused.width = base.height, base.width
+        fused.intrinsic_matrix = base.intrinsic_matrix
+        fused.camera_pose = base.camera_pose
+        fused.threshold = base.threshold
+        fused.points_padded = base.points_padded
+        fused.valid = base.valid
+        return fused

@@ -28,7 +28,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from grasptrajopt_tpu.fields import DepthPointCloud
+from grasptrajopt_tpu.fields import DepthPointCloud, FusedDepthPointCloud
 from grasptrajopt_tpu.planning.gto_planner import GTOPlanner
 from grasptrajopt_tpu.planning.ik_solver import IKSolver
 from grasptrajopt_tpu.spatial import transform_points
@@ -138,11 +138,34 @@ class GraspPipeline:
 
     # -- stages ---------------------------------------------------------------
 
+    @staticmethod
+    def _as_views(depth, cam_pose, target_mask):
+        """Normalize single-view arrays / multi-view sequences to lists.
+
+        Multi-view: pass depth / cam_pose / target_mask as same-length
+        sequences (one entry per camera); K is shared. The observations are
+        fused (FusedDepthPointCloud) — union point cloud, union free-space
+        visibility — which carves single-camera occlusion bands."""
+        if isinstance(depth, (list, tuple)):
+            return (
+                [np.asarray(d) for d in depth],
+                list(cam_pose),
+                [np.asarray(m) for m in target_mask],
+            )
+        return [np.asarray(depth)], [cam_pose], [np.asarray(target_mask)]
+
+    def _fuse(self, views):
+        return views[0] if len(views) == 1 else FusedDepthPointCloud(views)
+
     def build_fields(self, depth, K, cam_pose, target_mask):
         """Two SDF cost fields on the scene-bounds grid: full scene and
-        target-free obstacle field."""
-        depth = np.asarray(depth)
-        depth_pc = DepthPointCloud(depth, K, cam_pose, threshold=self.depth_threshold)
+        target-free obstacle field. Accepts one observation or a
+        multi-view sequence (see _as_views)."""
+        depths, poses, masks = self._as_views(depth, cam_pose, target_mask)
+        depth_pc = self._fuse([
+            DepthPointCloud(d, K, p, threshold=self.depth_threshold)
+            for d, p in zip(depths, poses)
+        ])
         if self.grid is not None:
             grid = self.robot.grid = self.grid
         else:
@@ -157,11 +180,14 @@ class GraspPipeline:
             dense_builder(depth_pc).build_cost_field(grid, epsilon=self.field_epsilon)
         )
 
-        depth_obstacle = np.array(depth, copy=True)
-        depth_obstacle[np.asarray(target_mask)] = self.depth_threshold
-        depth_pc_obstacle = DepthPointCloud(
-            depth_obstacle, K, cam_pose, target_mask, threshold=self.depth_threshold
-        )
+        obstacle_views = []
+        for d, p, m in zip(depths, poses, masks):
+            d_obs = np.array(d, copy=True)
+            d_obs[m] = self.depth_threshold
+            obstacle_views.append(
+                DepthPointCloud(d_obs, K, p, m, threshold=self.depth_threshold)
+            )
+        depth_pc_obstacle = self._fuse(obstacle_views)
         sdf_cost_obstacle = np.asarray(
             dense_builder(depth_pc_obstacle).build_cost_field(
                 grid, epsilon=self.field_epsilon

@@ -288,6 +288,43 @@ class TestDepthPointCloud:
         assert (field3[:, :, -1] > 0).all()  # cells behind wall cost > 0
         assert (field3[:, :, 0] == 0).all()  # cells well in front cost 0
 
+    def test_fused_multiview(self):
+        # two orthogonal wall views: a point occluded in one view but
+        # observed free in the other must be OUTSIDE in the fusion; the
+        # union cloud supplies distances from both walls
+        from grasptrajopt_tpu.fields import FusedDepthPointCloud
+
+        depth, K, pose = self._flat_wall_scene()  # wall at z=1 seen from -z
+        v_front = DepthPointCloud(depth, K, pose, dtype=jnp.float64)
+        # second camera at the side, looking along +x at a wall at x=1
+        pose2 = np.eye(4)
+        # camera axes in world coords: cam_x -> +y, cam_y -> +z, view -> +x
+        pose2[:3, :3] = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        v_side = DepthPointCloud(depth, K, pose2, dtype=jnp.float64)
+        fused = FusedDepthPointCloud([v_front, v_side])
+
+        assert fused.points.shape[0] == v_front.points.shape[0] + v_side.points.shape[0]
+
+        # behind the front wall (inside for v_front) but in front of the
+        # side wall's free space at x<1: v_side sees it free -> outside
+        q = jnp.asarray([[0.0, 0.0, 1.2]])
+        assert not bool(np.asarray(v_front.is_outside(q))[0])
+        assert bool(np.asarray(fused.is_outside(q))[0])
+        assert float(np.asarray(fused.get_sdf(q))[0]) > 0
+
+        # distance uses the UNION: near the side wall the fused sdf is
+        # smaller than the front view's
+        q2 = jnp.asarray([[0.9, 0.0, 0.5]])
+        d_front = float(np.asarray(v_front.get_sdf(q2))[0])
+        d_fused = float(np.asarray(fused.get_sdf(q2))[0])
+        assert 0 < d_fused < d_front
+
+        # downsampled fused view keeps sign + approximate distance
+        small = fused.downsampled(0.02, capacity_step=256)
+        d_small = float(np.asarray(small.get_sdf(jnp.asarray(q2, np.float32)))[0])
+        assert abs(d_small - d_fused) <= 0.02 * np.sqrt(3) / 2 + 1e-6
+        assert bool(np.asarray(small.is_outside(jnp.asarray(q, np.float32)))[0])
+
     def test_downsampled_view(self):
         # the dense-build accelerator: voxel-deduplicated padded point set,
         # shared depth image (sign test), f32 compute; distances agree with
