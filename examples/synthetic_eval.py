@@ -36,7 +36,7 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
 from grasptrajopt_tpu.envs.synthetic import SyntheticSceneEnv
-from grasptrajopt_tpu.fields import DepthPointCloud
+from grasptrajopt_tpu.fields import DepthPointCloud, FusedDepthPointCloud
 from grasptrajopt_tpu.planning import GTORobotModel
 from grasptrajopt_tpu.planning.evaluate import score_plan
 from grasptrajopt_tpu.planning.pipeline import GraspPipeline
@@ -85,6 +85,8 @@ def make_args():
                    help="override the scene-type knob (m/voxel)")
     p.add_argument("--field_epsilon", type=float, default=None,
                    help="override the scene-type cost-band knob (m)")
+    p.add_argument("--views", type=int, default=None,
+                   help="number of fused camera views (default: scene knob)")
     return p.parse_args()
 
 
@@ -124,6 +126,7 @@ def evaluate_scenes(
     orderings=None,
     verbose: bool = True,
     field_epsilon: float = None,
+    views: int = None,
 ):
     """Run the full pipeline over synthetic scenes; returns the result dict
     in the reference schema plus collision statistics.
@@ -135,6 +138,8 @@ def evaluate_scenes(
     orderings = orderings or knobs["orderings"]
     if field_epsilon is None:
         field_epsilon = knobs.get("field_epsilon", 0.02)
+    if views is None:
+        views = knobs.get("views", 1)
     env = SyntheticSceneEnv(
         robot_name=cfg["robot_name"], scene_type=scene_type,
         n_objects=n_objects, width=width, height=height,
@@ -163,11 +168,23 @@ def evaluate_scenes(
             env.reset_scene()
             order_rec = {}
             for name in meta[ordering].split(","):
-                depth, mask, cam_pose, K = env.get_observation()
-                target_mask = mask == env._placed(name).uid
+                cam_poses = env.camera_poses(views)
+                uid = env._placed(name).uid
+                depths, masks = [], []
+                for cp in cam_poses:
+                    d, m, _, K = env.get_observation(cp)
+                    depths.append(d)
+                    masks.append(m == uid)
+                depth, cam_pose, target_mask = depths[0], cam_poses[0], masks[0]
                 RTs = env.grasps_world(name, capacity=goal_capacity)
                 res = pipeline.plan_object(
-                    qc, depth, K, cam_pose, target_mask, RTs, base_position
+                    qc,
+                    depths if views > 1 else depth,
+                    K,
+                    cam_poses if views > 1 else cam_pose,
+                    masks if views > 1 else target_mask,
+                    RTs,
+                    base_position,
                 )
                 rec = {
                     "reward": 0,
@@ -181,11 +198,16 @@ def evaluate_scenes(
                     "rescued": res.rescued,
                 }
                 if res.plan is not None:
-                    depth_obs = np.array(depth, copy=True)
-                    depth_obs[target_mask] = pipeline.depth_threshold
-                    dpc_obs = DepthPointCloud(
-                        depth_obs, K, cam_pose, target_mask,
-                        threshold=pipeline.depth_threshold,
+                    obs_views = []
+                    for d, cp, m in zip(depths, cam_poses, masks):
+                        d_obs = np.array(d, copy=True)
+                        d_obs[m] = pipeline.depth_threshold
+                        obs_views.append(DepthPointCloud(
+                            d_obs, K, cp, m, threshold=pipeline.depth_threshold,
+                        ))
+                    dpc_obs = (
+                        obs_views[0] if len(obs_views) == 1
+                        else FusedDepthPointCloud(obs_views)
                     )
                     RT_base = RTs.copy()
                     RT_base[:, :3, 3] -= base_position
@@ -230,14 +252,16 @@ def main():
         scene_type=args.scene_type, scene_ids=scene_ids,
         n_objects=args.n_objects, width=args.width, height=args.height,
         goal_capacity=args.goal_capacity, iterations=args.iterations,
-        field_epsilon=args.field_epsilon,
+        field_epsilon=args.field_epsilon, views=args.views,
     )
     elapsed = time.time() - t0
 
     os.makedirs(args.outdir, exist_ok=True)
     stamp = datetime.datetime.now().strftime("%y-%m-%d_T%H%M%S")
+    views = args.views or SCENE_KNOBS[args.scene_type].get("views", 1)
+    tag = f"_mv{views}" if views > 1 else ""
     out = os.path.join(
-        args.outdir, f"GTO_synthetic_{args.robot}_{args.scene_type}_{stamp}.json"
+        args.outdir, f"GTO_synthetic_{args.robot}_{args.scene_type}{tag}_{stamp}.json"
     )
     with open(out, "w") as f:
         json.dump(results, f)
