@@ -196,6 +196,7 @@ def evaluate_scenes(
                     "num_collision_free": res.n_collision_free,
                     "num_ik": res.n_ik_found,
                     "rescued": res.rescued,
+                    "escalated": res.escalated,
                 }
                 if res.plan is not None:
                     obs_views = []

@@ -195,6 +195,7 @@ def main():
                     "num_collision_free": res.n_collision_free,
                     "num_ik": res.n_ik_found,
                     "rescued": res.rescued,
+                    "escalated": res.escalated,
                 }
                 if res.plan is not None:
                     depth_obs = np.array(depth, copy=True)

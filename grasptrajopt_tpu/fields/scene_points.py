@@ -29,6 +29,9 @@ class ScenePointSet:
     points: np.ndarray  # (K, 3), padded with PAD_COORD
     normals: np.ndarray  # (K, 3), padded with +z
     count: int
+    # effective dedup voxel size: the requested resolution, or the coarser
+    # one reached when the cloud had to be thinned to fit the capacity
+    resolution: float = 0.02
 
     @property
     def capacity(self) -> int:
@@ -69,19 +72,26 @@ def downsample_scene(
     if points.shape[0] == 0:
         out_p = np.full((capacity, 3), PAD_COORD)
         out_n = np.tile(np.array([0.0, 0.0, 1.0]), (capacity, 1))
-        return ScenePointSet(out_p, out_n, 0)
+        return ScenePointSet(out_p, out_n, 0, resolution)
 
-    cells = np.floor(points / resolution).astype(np.int64)
-    # stable unique by first occurrence
-    _, first_idx = np.unique(
-        cells[:, 0] * 73856093 ^ cells[:, 1] * 19349663 ^ cells[:, 2] * 83492791,
-        return_index=True,
-    )
-    first_idx = np.sort(first_idx)
-    if first_idx.shape[0] > capacity:
-        # keep an even spatial subsample
-        sel = np.linspace(0, first_idx.shape[0] - 1, capacity).astype(int)
-        first_idx = first_idx[sel]
+    def voxel_first_idx(res):
+        cells = np.floor(points / res).astype(np.int64)
+        # stable unique by first occurrence
+        _, first_idx = np.unique(
+            cells[:, 0] * 73856093 ^ cells[:, 1] * 19349663 ^ cells[:, 2] * 83492791,
+            return_index=True,
+        )
+        return np.sort(first_idx)
+
+    first_idx = voxel_first_idx(resolution)
+    # over capacity: COARSEN the voxel size until the set fits. An index
+    # subsample (every k-th surviving point in scan order) leaves gaps of
+    # k voxels along the scan direction — holes wider than the sign test's
+    # lateral footprint, through which penetrations go unseen; a coarser
+    # uniform grid keeps coverage complete at lower density instead.
+    while first_idx.shape[0] > capacity:
+        resolution *= 1.3
+        first_idx = voxel_first_idx(resolution)
     pts = points[first_idx]
     nrm = normals[first_idx]
 
@@ -90,21 +100,12 @@ def downsample_scene(
     out_n = np.tile(np.array([0.0, 0.0, 1.0]), (capacity, 1))
     out_p[:n] = pts
     out_n[:n] = nrm
-    return ScenePointSet(out_p, out_n, n)
+    return ScenePointSet(out_p, out_n, n, resolution)
 
 
-def scene_point_sets_from_depth(
-    depth,
-    K,
-    cam_pose,
-    target_mask,
-    capacity_obstacle: int = 2048,
-    capacity_target: int = 512,
-    depth_threshold: float = 1.5,
-    resolution: float = 0.02,
-) -> Tuple[ScenePointSet, ScenePointSet]:
-    """(obstacle set without the target, target-only set) — the direct-mode
-    equivalents of sdf_cost_obstacle / the target part of sdf_cost_all."""
+def _view_points_normals(depth, K, cam_pose, target_mask, depth_threshold):
+    """World-frame (obstacle points, obstacle normals, target points,
+    target normals) of one depth view."""
     depth = np.asarray(depth)
     H, W = depth.shape
     normals = depth_normals(depth, K, cam_pose)
@@ -118,11 +119,39 @@ def scene_point_sets_from_depth(
 
     valid = (depth > 0) & (depth < depth_threshold)
     tmask = np.asarray(target_mask, dtype=bool) if target_mask is not None else np.zeros_like(valid)
+    return (
+        pts_world[valid & ~tmask], normals[valid & ~tmask],
+        pts_world[valid & tmask], normals[valid & tmask],
+    )
+
+
+def scene_point_sets_from_depth(
+    depth,
+    K,
+    cam_pose,
+    target_mask,
+    capacity_obstacle: int = 2048,
+    capacity_target: int = 512,
+    depth_threshold: float = 1.5,
+    resolution: float = 0.02,
+) -> Tuple[ScenePointSet, ScenePointSet]:
+    """(obstacle set without the target, target-only set) — the direct-mode
+    equivalents of sdf_cost_obstacle / the target part of sdf_cost_all.
+
+    Accepts one observation or same-length sequences of depth / cam_pose /
+    target_mask (multi-view: per-view clouds are pooled before the voxel
+    downsample, matching FusedDepthPointCloud's union cloud)."""
+    if not isinstance(depth, (list, tuple)):
+        depth, cam_pose, target_mask = [depth], [cam_pose], [target_mask]
+    po, no, pt, nt = [], [], [], []
+    for d, p, m in zip(depth, cam_pose, target_mask):
+        a, b, c, e = _view_points_normals(d, K, p, m, depth_threshold)
+        po.append(a); no.append(b); pt.append(c); nt.append(e)
 
     obstacle = downsample_scene(
-        pts_world[valid & ~tmask], normals[valid & ~tmask], capacity_obstacle, resolution
+        np.concatenate(po), np.concatenate(no), capacity_obstacle, resolution
     )
     target = downsample_scene(
-        pts_world[valid & tmask], normals[valid & tmask], capacity_target, resolution
+        np.concatenate(pt), np.concatenate(nt), capacity_target, resolution
     )
     return obstacle, target

@@ -73,6 +73,7 @@ class GTOPlanner:
         field_term: bool = True,
         cyclic_reduction: bool = False,
         goal_weight: float = 1.0,
+        obstacle_weight: float = 10.0,
         T: int = 50,
         Tmax: float = 10.0,
     ):
@@ -90,6 +91,12 @@ class GTOPlanner:
         # standoff investigation); goal_weight ~4 shifts that equilibrium
         # without touching the collision or smoothness semantics.
         self.goal_weight = float(goal_weight)
+        # obstacle_weight scales the shaped SDF-cost residual rows. 10.0 =
+        # reference parity (gto_planner.py:131 weights the summed obstacle
+        # cost by 10). The pipeline's exact-geometry escalation re-solves
+        # replay-colliding plans at a higher weight to buy thin-object
+        # clearance the parity weight trades away against smoothness.
+        self.obstacle_weight = float(obstacle_weight)
         # cyclic_reduction: parallel-in-time KKT solve
         # (opt/trajectory.py TrajectoryConfig.cyclic_reduction)
         self.cyclic_reduction = cyclic_reduction
@@ -152,7 +159,7 @@ class GTOPlanner:
         """Build (and cache) the jitted solve program for a goal capacity."""
         key = (
             goal_size, use_standoff, axis_standoff, grid or self.robot.grid,
-            self.goal_weight,
+            self.goal_weight, self.obstacle_weight,
         )
         if key in self._solvers:
             return self._solvers[key]
@@ -166,7 +173,7 @@ class GTOPlanner:
         grip_frame = robot.frame_of(self.link_gripper)
         gpts = self.gripper_points
         pose_standoff = self._standoff_pose(axis_standoff)
-        sqrt10 = jnp.asarray(np.sqrt(10.0), dtype)
+        sqrt10 = jnp.asarray(np.sqrt(self.obstacle_weight), dtype)
         sqrt_gw = jnp.asarray(np.sqrt(self.goal_weight), dtype)
 
         def goal_diffs_from(T_ee, T_grip, tf_goal_one):

@@ -49,6 +49,9 @@ class PipelineResult:
     # True when the goal-set plan failed the kinematic gates and a batched
     # per-goal rescue solve produced the returned plan instead
     rescued: bool = False
+    # True when the exact-geometry escalation (points-mode re-solve at a
+    # boosted obstacle weight) produced the returned plan
+    escalated: bool = False
 
 
 class GraspPipeline:
@@ -80,6 +83,12 @@ class GraspPipeline:
         goal_weight: float = 1.0,
         field_epsilon: float = 0.02,
         field_downsample: Optional[float] = None,
+        escalate: bool = True,
+        escalate_obstacle_weight: float = 40.0,
+        escalate_points_capacity: int = 4096,
+        escalate_target_capacity: int = 1024,
+        escalate_resolution: float = 0.02,
+        escalate_epsilon: Optional[float] = None,
     ):
         self.robot = robot
         self.gripper_model = gripper_model
@@ -122,6 +131,31 @@ class GraspPipeline:
         # depth cloud keeps that build tractable with <= 5 mm distance error.
         self.field_downsample = field_downsample
 
+        # escalate: the last rescue tier. The planner optimizes a VOXELIZED
+        # cost field (reference parity) while replay scoring checks exact
+        # nearest-neighbor distances to the depth cloud — thin objects
+        # (gelatin_box, sugar_box) can sit below the field grid's Nyquist
+        # rate, so a plan can be field-clean yet collide in replay. When the
+        # per-goal rescue's best plan STILL collides, re-solve the per-goal
+        # batch with `obstacle_mode='points'` (exact signed distances to the
+        # scene set — the replay criterion itself) at a boosted obstacle
+        # weight. No reference equivalent (its shelf success is 0.442 partly
+        # for this reason).
+        self.escalate = escalate
+        self.escalate_obstacle_weight = escalate_obstacle_weight
+        self.escalate_points_capacity = escalate_points_capacity
+        self.escalate_target_capacity = escalate_target_capacity
+        self.escalate_resolution = escalate_resolution
+        # cushion for the downsample's distance inflation (the solver sees
+        # distances to the DEDUPED set, up to ~resolution/2 larger than the
+        # replay scorer's full-cloud distances): widen the cost band by half
+        # a dedup voxel by default
+        self.escalate_epsilon = (
+            escalate_epsilon
+            if escalate_epsilon is not None
+            else field_epsilon + 0.5 * escalate_resolution
+        )
+
         # goal_weight: terminal goal-row weight (1.0 = reference parity);
         # deep-standoff configs (shelf, -0.2) use ~4 to counter the
         # rotation-error equilibrium (docs/PERF.md standoff investigation)
@@ -130,6 +164,7 @@ class GraspPipeline:
             standoff_distance=standoff_distance, standoff_offset=standoff_offset,
             iterations=planner_iterations, goal_weight=goal_weight,
         )
+        self._planner_exact: Optional[GTOPlanner] = None
         self.ik_solver = IKSolver(
             robot, link_ee, link_gripper, collision_avoidance=ik_collision_avoidance,
             iterations=ik_iterations,
@@ -278,6 +313,7 @@ class GraspPipeline:
         planning_time = time.time() - t0
 
         rescued = False
+        escalated = False
         if self.rescue:
             from grasptrajopt_tpu.planning.evaluate import (
                 score_plan,
@@ -296,11 +332,20 @@ class GraspPipeline:
                     -s["err_pos"],
                 )
 
+            def score_batch(Q_all):
+                return score_plans_pergoal(
+                    self.robot, self.link_ee, Q_all, RT_base,
+                    depth_pc_obstacle, base_position,
+                    pos_tol=self.rescue_pos_tol,
+                    rot_tol_deg=self.rescue_rot_tol_deg,
+                )
+
             s0 = score_plan(
                 self.robot, self.link_ee, plan, RT_base, depth_pc_obstacle,
                 base_position, pos_tol=self.rescue_pos_tol,
                 rot_tol_deg=self.rescue_rot_tol_deg,
             )
+            best_key, best_score = gate_key(s0), s0
             if s0["reward"] == 0:
                 t1 = time.time()
                 Q_all, cost_all = self.planner.plan_pergoal_batch(
@@ -309,24 +354,78 @@ class GraspPipeline:
                     goal_capacity=cap,
                 )
                 planning_time += time.time() - t1
-                scores = score_plans_pergoal(
-                    self.robot, self.link_ee, Q_all, RT_base,
-                    depth_pc_obstacle, base_position,
-                    pos_tol=self.rescue_pos_tol,
-                    rot_tol_deg=self.rescue_rot_tol_deg,
-                )
-                best_key, best_i = gate_key(s0), None
+                scores = score_batch(Q_all)
+                best_i = None
                 for i, si in enumerate(scores):
                     ki = gate_key(si)
                     if ki > best_key:
-                        best_key, best_i = ki, i
+                        best_key, best_score, best_i = ki, si, i
                 if best_i is not None:
                     plan = Q_all[best_i]
                     cost = float(cost_all[best_i])
                     dQ = self.planner.dq_of(plan)
                     rescued = True
 
+            if (
+                self.escalate
+                and best_score["reward"] == 0
+                and best_score["collision"]
+            ):
+                t1 = time.time()
+                Q_e, cost_e = self._plan_pergoal_exact(
+                    qc, RT_base, base_position, q_solutions, cap,
+                    depth, K, cam_pose, target_mask,
+                )
+                planning_time += time.time() - t1
+                best_e = None
+                for i, si in enumerate(score_batch(Q_e)):
+                    ki = gate_key(si)
+                    if ki > best_key:
+                        best_key, best_score, best_e = ki, si, i
+                if best_e is not None:
+                    plan = Q_e[best_e]
+                    cost = float(cost_e[best_e])
+                    dQ = self.planner.dq_of(plan)
+                    rescued = True
+                    escalated = True
+
         return PipelineResult(
             plan, dQ, cost, n_grasps, int(keep.sum()), int(found.sum()),
             checking_time, ik_time, planning_time, "ok", rescued=rescued,
+            escalated=escalated,
+        )
+
+    def _plan_pergoal_exact(
+        self, qc, RT_base, base_position, q_solutions, cap,
+        depth, K, cam_pose, target_mask,
+    ):
+        """The escalation tier's per-goal batch: exact signed distances
+        (obstacle_mode='points' — the replay criterion itself, no
+        voxelization) at a boosted obstacle weight."""
+        from grasptrajopt_tpu.fields.scene_points import scene_point_sets_from_depth
+
+        if self._planner_exact is None:
+            self._planner_exact = GTOPlanner(
+                self.robot, self.link_ee, self.link_gripper,
+                standoff_distance=self.standoff_distance,
+                standoff_offset=self.planner.standoff_offset,
+                iterations=self.planner.iterations,
+                goal_weight=self.planner.goal_weight,
+                obstacle_weight=self.escalate_obstacle_weight,
+                obstacle_mode="points",
+                sdf_epsilon=self.escalate_epsilon,
+            )
+        depths, poses, masks = self._as_views(depth, cam_pose, target_mask)
+        scene_obstacle, scene_target = scene_point_sets_from_depth(
+            depths, K, poses, masks,
+            capacity_obstacle=self.escalate_points_capacity,
+            capacity_target=self.escalate_target_capacity,
+            depth_threshold=self.depth_threshold,
+            resolution=self.escalate_resolution,
+        )
+        return self._planner_exact.plan_pergoal_batch(
+            qc, RT_base, None, None, base_position, q_solutions,
+            use_standoff=True, axis_standoff=self.axis_standoff,
+            goal_capacity=cap,
+            scene_obstacle=scene_obstacle, scene_target=scene_target,
         )

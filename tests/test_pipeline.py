@@ -313,6 +313,81 @@ class TestGraspPipeline:
             result.dQ, pipeline.planner.dq_of(result.plan), atol=1e-12
         )
 
+    def test_escalation_branch_fixes_replay_collision(self, panda, data_dir):
+        """The exact-geometry escalation tier: force BOTH the goal-set solve
+        and the field-mode per-goal rescue to return a plan that collides
+        with the floor in replay; the points-mode escalation (exact signed
+        distances at boosted obstacle weight) must replace it with a
+        collision-free reaching plan."""
+        from grasptrajopt_tpu.planning.evaluate import score_plan
+
+        robot, cfg = panda
+        gripper = GTORobotModel(
+            model_dir=f"{data_dir}/robots/panda",
+            urdf_filename=f"{data_dir}/robots/panda/panda_gripper.urdf",
+            dtype=jnp.float64,
+        )
+        pipeline = GraspPipeline(
+            robot, gripper, cfg["link_ee"], cfg["link_gripper"],
+            axis_standoff=cfg["axis_standoff"],
+            gripper_open_offsets=cfg["gripper_open_offsets"],
+            goal_capacity=4,
+            planner_iterations=30,
+            escalate_points_capacity=2048,
+            escalate_target_capacity=128,
+        )
+        H = W = 64
+        K = np.array([[60.0, 0, 32], [0, 60.0, 32], [0, 0, 1]])
+        cam_pose = np.eye(4)
+        cam_pose[:3, 3] = [0.45, 0.0, 1.4]
+        cam_pose[:3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]])
+        depth = np.full((H, W), 1.4, dtype=np.float32)
+        target_mask = np.zeros((H, W), dtype=bool)
+        target_mask[28:36, 28:36] = True
+        RTs = np.tile(PANDA_RT[None], (3, 1, 1))
+        RTs[1, 2, 3] += 0.03
+        RTs[2, 1, 3] += 0.03
+
+        # a configuration that drives the arm INTO the floor plane
+        q_dip = PANDA_DEFAULT.copy()
+        q_dip[1] = 1.4  # shoulder pitched far forward
+        q_dip[3] = -0.3
+        bad_plan = np.tile(q_dip[:, None], (1, 50))
+        bad_plan[:, 0] = PANDA_DEFAULT
+
+        def bad_goalset(*args, **kwargs):
+            return bad_plan.copy(), np.zeros((robot.ndof, 49)), np.array([1e6])
+
+        def bad_pergoal(qc, RTs_in, *args, **kwargs):
+            n = np.asarray(RTs_in).shape[0]
+            return (
+                np.tile(bad_plan[None], (n, 1, 1)),
+                np.full(n, 1e6),
+            )
+
+        pipeline.planner.plan_goalset = bad_goalset
+        pipeline.planner.plan_pergoal_batch = bad_pergoal
+        result = pipeline.plan_object(
+            PANDA_DEFAULT, depth, K, cam_pose, target_mask, RTs
+        )
+        assert result.stage == "ok"
+        assert result.escalated, "escalation tier should replace the colliding plan"
+
+        # self-validate the setup: the forced plan really does collide
+        depth_pc, depth_pc_obstacle, _, _ = pipeline.build_fields(
+            depth, K, cam_pose, target_mask
+        )
+        s_bad = score_plan(
+            robot, cfg["link_ee"], bad_plan, RTs, depth_pc_obstacle, [0, 0, 0]
+        )
+        assert s_bad["collision"], "test setup: forced plan must collide in replay"
+
+        s = score_plan(
+            robot, cfg["link_ee"], result.plan, RTs, depth_pc_obstacle, [0, 0, 0]
+        )
+        assert not s["collision"], f"escalated plan still collides: {s}"
+        assert s["reached"], f"escalated plan misses the goal: {s}"
+
     def test_pergoal_rescue_batch(self, panda):
         """The rescue path: every per-goal solve must reach ITS OWN goal
         (one-hot masks on the shared goal-set program, per-candidate warm
