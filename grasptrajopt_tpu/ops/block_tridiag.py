@@ -17,6 +17,29 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from grasptrajopt_tpu.ops.smallchol import (
+    MAX_UNROLL_N,
+    cholesky_small,
+    cholesky_solve_small,
+)
+
+
+def _block_linalg(n: int):
+    """(cholesky, chol_solve) for (.., n, n) blocks: unrolled fused ops for
+    the tiny blocks this framework solves (no LAPACK custom-call dispatch
+    inside the time scan — see ops.smallchol), LAPACK path above the
+    unroll threshold."""
+    if n <= MAX_UNROLL_N:
+        return cholesky_small, cholesky_solve_small
+
+    def chol_solve(chol, b):
+        y = jax.scipy.linalg.solve_triangular(chol, b, lower=True)
+        return jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(chol, -1, -2), y, lower=False
+        )
+
+    return jnp.linalg.cholesky, chol_solve
+
 
 def block_tridiag_solve(diag, lower, rhs):
     """Solve H x = rhs with H SPD block-tridiagonal.
@@ -30,11 +53,7 @@ def block_tridiag_solve(diag, lower, rhs):
     with per-block Cholesky factorizations.
     """
     T, n, _ = diag.shape
-    eye = jnp.eye(n, dtype=diag.dtype)
-
-    def chol_solve(chol, b):
-        y = jax.scipy.linalg.solve_triangular(chol, b, lower=True)
-        return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+    cholesky, chol_solve = _block_linalg(n)
 
     # Forward sweep: factor Schur complements, reduce rhs.
     def fwd(carry, inp):
@@ -43,11 +62,11 @@ def block_tridiag_solve(diag, lower, rhs):
         # W = S_{t-1}^{-1} L_{t-1}^T  (n, n)
         W = chol_solve(chol_prev, jnp.swapaxes(L_prev, -1, -2))
         S_t = D_t - L_prev @ W
-        chol_t = jnp.linalg.cholesky(S_t)
+        chol_t = cholesky(S_t)
         y_t = b_t - L_prev @ chol_solve(chol_prev, y_prev)
         return (chol_t, y_t), (chol_t, y_t)
 
-    chol0 = jnp.linalg.cholesky(diag[0])
+    chol0 = cholesky(diag[0])
     y0 = rhs[0]
     (_, _), (chols, ys) = jax.lax.scan(
         fwd, (chol0, y0), (diag[1:], lower, rhs[1:])
@@ -90,12 +109,7 @@ def block_tridiag_solve_cr(diag, lower, rhs):
     """
     T, n, _ = diag.shape
     dtype = diag.dtype
-
-    def chol_solve(chol, b):
-        y = jax.scipy.linalg.solve_triangular(chol, b, lower=True)
-        return jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(chol, -1, -2), y, lower=False
-        )
+    cholesky, chol_solve = _block_linalg(n)
 
     # pad to M = 2^k - 1 with identity diagonal blocks, zero couplings
     k = 1
@@ -116,7 +130,7 @@ def block_tridiag_solve_cr(diag, lower, rhs):
         data needed for back-substitution."""
         m = D.shape[0]
         E = D[0::2]  # (p, n, n) even diagonals, p = (m+1)//2
-        F = jnp.linalg.cholesky(E)
+        F = cholesky(E)
         r = chol_solve(F, b[0::2][..., None])[..., 0]  # (p, n) E^{-1} b_e
 
         A = L[0::2]  # A[mi] = L[2mi]   couples even 2mi   -> odd 2mi+1
@@ -175,7 +189,7 @@ def block_tridiag_solve_cr(diag, lower, rhs):
         (Dl2, Ll2, bl2), saved = reduce(Dl, Ll, bl)
         stack.append((saved, bl))
         Dl, Ll, bl = Dl2, Ll2, bl2
-    x = chol_solve(jnp.linalg.cholesky(Dl), bl[..., None])[..., 0]  # (1, n)
+    x = chol_solve(cholesky(Dl), bl[..., None])[..., 0]  # (1, n)
     for (F, A, Bc), b_level in reversed(stack):
         x = backsub(x, F, A, Bc, b_level)
     return x[:T]

@@ -271,3 +271,59 @@ class TestBlockTridiag:
         xb = jax.vmap(block_tridiag_solve_cr)(diag, lower, rhs)
         want = jax.vmap(block_tridiag_solve)(diag, lower, rhs)
         np.testing.assert_allclose(np.asarray(xb), np.asarray(want), atol=1e-9)
+
+
+class TestSmallChol:
+    """Unrolled tiny-block Cholesky vs the LAPACK custom-call path."""
+
+    def _spd(self, shape_prefix, n, seed=0):
+        rng = np.random.default_rng(seed)
+        A = rng.normal(size=shape_prefix + (n, n))
+        return jnp.asarray(A @ np.swapaxes(A, -1, -2) + 3.0 * np.eye(n))
+
+    def test_factor_matches_lapack(self):
+        from grasptrajopt_tpu.ops.smallchol import cholesky_small
+
+        for n in (1, 3, 7):
+            A = self._spd((4,), n, seed=n)
+            np.testing.assert_allclose(
+                np.asarray(cholesky_small(A)),
+                np.asarray(jnp.linalg.cholesky(A)),
+                atol=1e-10,
+            )
+
+    def test_solves_match(self):
+        from grasptrajopt_tpu.ops.smallchol import (
+            cholesky_small,
+            cholesky_solve_small,
+            solve_triangular_lower_small,
+            solve_triangular_upper_small,
+        )
+
+        n = 7
+        A = self._spd((5,), n, seed=2)
+        L = cholesky_small(A)
+        rng = np.random.default_rng(3)
+        b_vec = jnp.asarray(rng.normal(size=(5, n)))
+        B_mat = jnp.asarray(rng.normal(size=(5, n, 4)))
+        # vector and matrix right-hand sides, lower and upper
+        y = solve_triangular_lower_small(L, b_vec)
+        np.testing.assert_allclose(
+            np.asarray(jnp.einsum("bij,bj->bi", L, y)), np.asarray(b_vec), atol=1e-9
+        )
+        Y = solve_triangular_upper_small(jnp.swapaxes(L, -1, -2), B_mat)
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(L, -1, -2) @ Y), np.asarray(B_mat), atol=1e-9
+        )
+        X = cholesky_solve_small(L, B_mat)
+        np.testing.assert_allclose(np.asarray(A @ X), np.asarray(B_mat), atol=1e-8)
+
+    def test_grad_traces(self):
+        # the solver differentiates through the KKT solve nowhere, but the
+        # unrolled ops must at least be jit/vmap-safe inside scan bodies
+        from grasptrajopt_tpu.ops.smallchol import cholesky_small, cholesky_solve_small
+
+        A = self._spd((2, 3), 4, seed=5)
+        b = jnp.asarray(np.random.default_rng(6).normal(size=(2, 3, 4)))
+        out = jax.jit(jax.vmap(lambda a, bb: cholesky_solve_small(cholesky_small(a), bb)))(A, b)
+        assert out.shape == (2, 3, 4)
