@@ -27,6 +27,12 @@ from typing import Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from grasptrajopt_tpu.ops.smallchol import (
+    MAX_UNROLL_N,
+    cholesky_small,
+    cholesky_solve_small,
+)
+
 
 class LMConfig(NamedTuple):
     iterations: int = 50
@@ -88,7 +94,14 @@ def make_box_lm_solver(
 
             scale = jnp.maximum(jnp.diag(H), config.jitter)
             A = H + lam * jnp.diag(scale) + config.jitter * eye
-            dx = -jnp.linalg.solve(A, g)
+            if n <= MAX_UNROLL_N:
+                # A is SPD by construction (J^T J + positive diagonal):
+                # the unrolled Cholesky solve fuses into the scan body
+                # instead of dispatching a LAPACK LU custom call per
+                # iteration (see ops.smallchol)
+                dx = -cholesky_solve_small(cholesky_small(A), g)
+            else:
+                dx = -jnp.linalg.solve(A, g)
 
             alphas = jnp.asarray(config.alphas, x.dtype)
             cands = jnp.clip(x[None] + alphas[:, None] * dx[None], lo, hi)
