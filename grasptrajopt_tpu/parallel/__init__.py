@@ -17,6 +17,7 @@ from grasptrajopt_tpu.parallel.sharded import (
     make_sharded_solver,
     sharded_metric_reduce,
 )
+from grasptrajopt_tpu.parallel.streaming import PlanStream, stream_map
 
 __all__ = [
     "data_mesh",
@@ -24,4 +25,6 @@ __all__ = [
     "shard_batch",
     "make_sharded_solver",
     "sharded_metric_reduce",
+    "PlanStream",
+    "stream_map",
 ]

@@ -147,6 +147,65 @@ class TestShardedPlannerRealistic:
         )
 
 
+class TestStreaming:
+    """parallel/streaming.py: bounded-depth async pipelining must preserve
+    results and ordering exactly (it only changes WHEN the host blocks)."""
+
+    def test_stream_map_matches_sequential(self):
+        from grasptrajopt_tpu.parallel import stream_map
+
+        @jax.jit
+        def f(x):
+            return x * 2.0 + 1.0
+
+        batches = [jnp.full((4,), float(i)) for i in range(7)]
+        seq = [np.asarray(f(b)) for b in batches]
+        for depth in (1, 2, 4):
+            got = [np.asarray(r) for r in stream_map(f, batches, inflight=depth)]
+            assert len(got) == len(seq)
+            for a, b in zip(got, seq):
+                np.testing.assert_array_equal(a, b)
+
+    def test_stream_map_tuple_args_and_pytree_results(self):
+        from grasptrajopt_tpu.parallel import stream_map
+
+        @jax.jit
+        def f(x, y):
+            return {"s": x + y, "d": x - y}
+
+        inputs = [(jnp.ones(3) * i, jnp.ones(3)) for i in range(5)]
+        outs = list(stream_map(f, inputs, inflight=3))
+        for i, o in enumerate(outs):
+            np.testing.assert_allclose(np.asarray(o["s"]), i + 1.0)
+            np.testing.assert_allclose(np.asarray(o["d"]), i - 1.0)
+
+    def test_plan_stream_submit_drain_order(self):
+        from grasptrajopt_tpu.parallel import PlanStream
+
+        @jax.jit
+        def f(x):
+            return jnp.sum(x) * 3.0
+
+        stream = PlanStream(f, inflight=2)
+        retired = []
+        for i in range(6):
+            retired.extend(stream.submit(jnp.full((2,), float(i))))
+        assert len(retired) == 4  # depth bound forced 4 retirements
+        retired.extend(stream.drain())
+        assert stream.submitted == stream.completed == 6
+        np.testing.assert_allclose(
+            [float(r) for r in retired], [6.0 * i for i in range(6)]
+        )
+
+    def test_invalid_depth_raises(self):
+        from grasptrajopt_tpu.parallel import PlanStream, stream_map
+
+        with pytest.raises(ValueError):
+            PlanStream(lambda x: x, inflight=0)
+        with pytest.raises(ValueError):
+            list(stream_map(lambda x: x, [1], inflight=0))
+
+
 class TestGraftEntry:
     def test_entry_compiles_and_runs(self):
         import sys
