@@ -46,6 +46,12 @@ class LMConfig(NamedTuple):
     # better basin exploration per iteration at the cost of extra residual
     # evaluations (cheap for dense problems)
     alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1, 0.03)
+    # matmul precision for everything traced inside the solve (see
+    # opt/trajectory.py TrajectoryConfig.matmul_precision: TPU's default
+    # bf16 operand truncation moves finite-budget iterates; the dense
+    # problems here are tiny, so "highest" is free). None = platform
+    # default.
+    matmul_precision: Optional[str] = "highest"
 
 
 def make_box_lm_solver(
@@ -134,7 +140,14 @@ def make_box_lm_solver(
         (x, lam, c), _ = jax.lax.scan(body, init, None, length=config.iterations)
         return x, c, {"lambda": lam}
 
-    return solve
+    if config.matmul_precision is None:
+        return solve
+
+    def solve_scoped(x0, lo, hi, params):
+        with jax.default_matmul_precision(config.matmul_precision):
+            return solve(x0, lo, hi, params)
+
+    return solve_scoped
 
 
 def solve_box_lm(residual_fn, x0, lo, hi, params, value_fn=None, config: LMConfig = LMConfig()):

@@ -83,6 +83,15 @@ class TrajectoryConfig(NamedTuple):
     # ceil(log2 T) levels of batched block ops instead of a 2T-step scan of
     # tiny sequential Cholesky solves (which are latency-bound on TPU).
     cyclic_reduction: bool = False
+    # matmul precision for everything traced inside the solve. On TPU the
+    # default MXU behavior truncates f32 operands to bf16; at a finite
+    # iteration budget that precision loss steers the ITERATE, not just
+    # rounding (docs/PERF.md round 3: one bench problem converged past the
+    # 5-degree gate, err_pos floor 1.7 mm vs 1.1 mm). Every matmul in this
+    # solver is FLOP-trivial (7x7 KKT blocks, n-wide J contractions — the
+    # field gather dominates the iteration), so "highest" is effectively
+    # free. None = leave the platform default.
+    matmul_precision: Optional[str] = "highest"
 
 
 def make_trajectory_solver(
@@ -155,9 +164,19 @@ def make_trajectory_solver(
 
         vel_diag = w * jnp.where(jnp.arange(F) < F - 1, 2.0, 1.0).astype(dtype)
         L_off = jnp.broadcast_to(-w * eye, (F - 1, n, n))
-        kkt_solve = (
+        kkt_inner = (
             block_tridiag_solve_cr if config.cyclic_reduction else block_tridiag_solve
         )
+
+        def kkt_solve(D, L, g):
+            # exempt the KKT chain from the solver's matmul_precision
+            # scope: the step direction is damped/approximate by
+            # construction (LM re-tests it), and the 2T-step scan of tiny
+            # 7x7 ops is latency-bound — HIGHEST multiplies exactly the
+            # ops that can least afford extra passes (~5% step time,
+            # docs/PERF.md round 3) while buying nothing.
+            with jax.default_matmul_precision("default"):
+                return kkt_inner(D, L, g)
 
         def step_lin(q_t, t, step_aux, params):
             """Primal residuals + Jacobian from ONE traced evaluation
@@ -184,6 +203,9 @@ def make_trajectory_solver(
             )(Q, t_all)  # r: (T, R); J^T: (T, n, R)
             c = jnp.sum(r_all * r_all) + smooth_cost(Q)
             Jt = J_allT[nf:]  # (F, n, R)
+            # these contractions run at config.matmul_precision (see
+            # solve_scoped): the default TPU bf16 operand truncation steers
+            # the finite-budget iterate, and they are FLOP-trivial anyway
             H = jnp.einsum("fir,fjr->fij", Jt, Jt)  # (F, n, n)
             g = jnp.einsum("fir,fr->fi", Jt, r_all[nf:]) + smooth_grad_X(Q)
             if traj_term is not None:
@@ -322,4 +344,13 @@ def make_trajectory_solver(
         Q = assemble(X, qc_opt)
         return Q, c, {"lambda": lam, "step_aux": step_aux}
 
-    return solve
+    if config.matmul_precision is None:
+        return solve
+
+    def solve_scoped(qc_opt, X0, lo, hi, params):
+        # trace-time scope: applies to every matmul/einsum traced inside
+        # the solve (incl. user residual fns and traj terms)
+        with jax.default_matmul_precision(config.matmul_precision):
+            return solve(qc_opt, X0, lo, hi, params)
+
+    return solve_scoped
