@@ -408,7 +408,10 @@ def main():
     # (the latency of ONE batch is reported separately as step_s).
     from grasptrajopt_tpu.parallel import stream_map
 
-    inflight = int(os.environ.get("BENCH_INFLIGHT", "2"))
+    # depth 4: the tunnel's retire+submit serializes enough that double
+    # buffering still leaves the device idle at short step times
+    # (docs/PERF.md round 3: 6-iter config 386 -> 504 plans/s at depth 4)
+    inflight = int(os.environ.get("BENCH_INFLIGHT", "4"))
     pipe_reps = int(os.environ.get("BENCH_PIPE_REPS", str(max(reps, 5))))
     t0 = time.time()
     for _ in stream_map(lambda: step(), [()] * pipe_reps, inflight=inflight):

@@ -35,7 +35,17 @@ def check_plan_collision(
 
     Returns (collision, per-step inside-point counts). Collision when any
     step has more than `threshold_points` surface points with sdf < 0
-    (parity: pybullet_evaluate_plans.py:219-237).
+    (parity: pybullet_evaluate_plans.py:219-237), EXCLUDING baseline
+    contacts — points already inside at step 0, the robot's current
+    configuration. Those are pre-existing resting contacts (e.g. the
+    fixed base sitting exactly on the observed support plane), not
+    plan-induced penetration; a criterion counting them marks EVERY plan
+    of that robot colliding. The reference never meets this case because
+    its evaluation re-renders depth WITH the robot in view
+    (pybullet_evaluate_plans.py:196), so the support surface under the
+    robot's own footprint is occluded from the cloud; the exclusion is
+    parity-preserving on reference-like observations while making the
+    criterion robust to synthetic ones without robot self-occlusion.
     """
     plan = np.asarray(plan)
     Q = jnp.asarray(plan.T, robot.dtype)  # (T, ndof)
@@ -44,7 +54,8 @@ def check_plan_collision(
     )  # (T, P, 3)
     T, P = pts.shape[0], pts.shape[1]
     sdf = depth_pc_obstacle.get_sdf(pts.reshape(-1, 3)).reshape(T, P)
-    counts = np.asarray((np.asarray(sdf) < 0).sum(axis=1))
+    inside = np.asarray(sdf) < 0  # (T, P)
+    counts = np.asarray((inside & ~inside[0]).sum(axis=1))
     return bool((counts > threshold_points).any()), counts
 
 
@@ -93,7 +104,9 @@ def score_plans_pergoal(
     )  # (n*T, P, 3)
     P = pts.shape[1]
     sdf = np.asarray(depth_pc_obstacle.get_sdf(pts.reshape(-1, 3))).reshape(n, T, P)
-    counts = (sdf < 0).sum(axis=2)  # (n, T)
+    inside = sdf < 0  # (n, T, P)
+    # baseline-contact exclusion per plan (see check_plan_collision)
+    counts = (inside & ~inside[:, :1, :]).sum(axis=2)  # (n, T)
     collisions = (counts > threshold_points).any(axis=1)
 
     finals = jnp.asarray(plans[:, :, -1], robot.dtype)  # (n, ndof)

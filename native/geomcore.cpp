@@ -25,6 +25,7 @@
 #include <fstream>
 #include <memory>
 #include <string>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -187,13 +188,32 @@ void* geom_kdtree_build(const double* points, int64_t n) {
 void geom_kdtree_query(void* handle, const double* queries, int64_t m,
                        double* dists_out, int32_t* idx_out) {
   auto* tree = static_cast<KDTree*>(handle);
-  for (int64_t i = 0; i < m; ++i) {
-    double best_d2 = 1e300;
-    int32_t best_i = -1;
-    tree->query(queries + i * 3, 0, tree->n, 0, best_d2, best_i);
-    dists_out[i] = std::sqrt(best_d2);
-    idx_out[i] = best_i;
+  auto run = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      double best_d2 = 1e300;
+      int32_t best_i = -1;
+      tree->query(queries + i * 3, 0, tree->n, 0, best_d2, best_i);
+      dists_out[i] = std::sqrt(best_d2);
+      idx_out[i] = best_i;
+    }
+  };
+  // dense field builds issue 10^5-10^6 independent queries; fan out over
+  // hardware threads (queries are read-only on the tree, outputs disjoint)
+  int64_t nthreads = std::min<int64_t>(
+      std::max(1u, std::thread::hardware_concurrency()), (m + 4095) / 4096);
+  if (nthreads <= 1) {
+    run(0, m);
+    return;
   }
+  std::vector<std::thread> workers;
+  int64_t chunk = (m + nthreads - 1) / nthreads;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min(m, lo + chunk);
+    if (lo >= hi) break;
+    workers.emplace_back(run, lo, hi);
+  }
+  for (auto& w : workers) w.join();
 }
 
 void geom_kdtree_free(void* handle) { delete static_cast<KDTree*>(handle); }

@@ -269,6 +269,23 @@ class TestDepthPointCloud:
         assert sdf[1] < 0  # behind the wall: inside
         np.testing.assert_allclose(np.abs(sdf), [0.5, 0.3], atol=0.02)
 
+    def test_host_kdtree_path_matches_device_path(self):
+        """get_sdf's CPU fast path (C++ multithreaded KD-tree,
+        native/geomcore.cpp) must agree exactly with the jnp reduction —
+        same nearest distances, same visibility sign."""
+        from grasptrajopt_tpu import native
+
+        if not native.is_available():
+            pytest.skip("native geomcore unavailable")
+        depth, K, pose = self._flat_wall_scene()
+        depth[10:20, 30:40] = 0.6  # a protrusion for sign variety
+        pc = DepthPointCloud(depth, K, pose, dtype=jnp.float64)
+        rng = np.random.default_rng(3)
+        q = rng.uniform(-0.8, 1.3, size=(5000, 3))
+        s_host = np.asarray(pc.get_sdf(q, host=True))
+        s_dev = np.asarray(pc.get_sdf(q, host=False))
+        np.testing.assert_allclose(s_host, s_dev, atol=1e-10)
+
     def test_cost_shaping(self):
         eps = 0.02
         d = jnp.asarray([-0.1, 0.0, 0.01, 0.02, 0.5])

@@ -348,10 +348,22 @@ class TestGraspPipeline:
         RTs[1, 2, 3] += 0.03
         RTs[2, 1, 3] += 0.03
 
-        # a configuration that drives the arm INTO the floor plane
-        q_dip = PANDA_DEFAULT.copy()
-        q_dip[1] = 1.4  # shoulder pitched far forward
-        q_dip[3] = -0.3
+        # a configuration whose GRIPPER digs into the floor plane: IK to
+        # the test grasp pushed down to z = 0.04, putting the fingertip
+        # surface points a few cm below the observed floor — a genuine
+        # plan-induced penetration (the scorer's baseline-contact
+        # exclusion ignores resting contacts like the fixed base sitting
+        # exactly on the floor plane, so a merely low-swinging arm no
+        # longer counts as colliding)
+        RT_low = PANDA_RT.copy()
+        RT_low[2, 3] = 0.04
+        q_low, low_pos, _, _ = pipeline.ik_solver.solve_ik_batch(
+            np.tile(PANDA_DEFAULT, (4, 1)),
+            np.tile(RT_low[None], (4, 1, 1)),
+            multistart=True,
+        )
+        assert float(np.min(low_pos)) < 0.01, "test setup: low IK must reach"
+        q_dip = np.asarray(q_low[int(np.argmin(low_pos))])
         bad_plan = np.tile(q_dip[:, None], (1, 50))
         bad_plan[:, 0] = PANDA_DEFAULT
 
