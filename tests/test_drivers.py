@@ -130,3 +130,17 @@ def test_mobile_driver(tmp_path, monkeypatch):
     assert RT_base_new[0, 3] > -1.9
     for name in ("009_gelatin_box", "010_potted_meat_can"):
         assert {"reward", "plan", "checking_time"} <= set(rec[name])
+
+
+@pytest.mark.slow
+def test_throughput_serving_demo(monkeypatch):
+    """The serving demo must stream all batches through PlanStream and
+    report a sustained rate (pipelined results identical to synchronous
+    is covered by tests/test_parallel.py; here the DRIVER executes)."""
+    monkeypatch.setattr(
+        sys, "argv",
+        ["throughput_serving.py", "--batches", "3", "--batch", "2",
+         "--iterations", "2", "--goals", "2"],
+    )
+    mod = _load_driver("throughput_serving")
+    mod.main()
