@@ -103,12 +103,13 @@ def main():
     # Configuration via env for experimentation; defaults sized for one chip.
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     goal_capacity = int(os.environ.get("BENCH_GOALS", "8"))
-    # 10 LM iterations: the lowest budget validated on the bench quality
-    # gates in EVERY config (panda shared/per-problem/fetch/deep-standoff)
-    # AND closed-loop (12/12 tabletop success at 10 — docs/PERF.md
-    # iteration-budget sweep). The reference runs Ipopt with up to 100
-    # interior-point iterations on the same warm-start scheme.
-    iterations = int(os.environ.get("BENCH_ITERS", "10"))
+    # 6 LM iterations: the lowest budget validated on the bench quality
+    # gates in EVERY config (panda shared/per-problem/fetch/deep-standoff,
+    # docs/PERF.md round-3 sweep) AND closed-loop (50/50 tabletop success,
+    # 0 collisions, at 6 — the same criteria that set the round-2 default).
+    # The reference runs Ipopt with up to 100 interior-point iterations on
+    # the same warm-start scheme.
+    iterations = int(os.environ.get("BENCH_ITERS", "6"))
     points_per_link = int(os.environ.get("BENCH_PPL", "100"))
     reps = int(os.environ.get("BENCH_REPS", "2"))
     robot_name = os.environ.get("BENCH_ROBOT", "panda")
@@ -222,11 +223,17 @@ def main():
     # BENCH_T: trajectory horizon (50 = reference parity; long horizons
     # pair with BENCH_CR=1 for the parallel-in-time KKT solve)
     horizon = int(os.environ.get("BENCH_T", "50"))
+    # BENCH_COARSE: first k LM iterations evaluate the obstacle term on a
+    # BENCH_COARSE_STRIDE-subsampled surface point set (multigrid-in-
+    # fidelity; the fine phase pins the equilibrium at reference fidelity)
+    coarse_iterations = int(os.environ.get("BENCH_COARSE", "0"))
+    coarse_stride = int(os.environ.get("BENCH_COARSE_STRIDE", "2"))
     planner = GTOPlanner(
         robot, link_ee, link_gripper, iterations=iterations, obstacle_mode=obstacle_mode,
         field_dtype=field_dtype, lm_alphas=lm_alphas, standoff_distance=standoff_distance,
         single_pass=single_pass, cyclic_reduction=cyclic_reduction,
         goal_weight=goal_weight, T=horizon,
+        coarse_iterations=coarse_iterations, coarse_stride=coarse_stride,
     )
     solvers = planner.setup_optimization(
         goal_size=goal_capacity, use_standoff=True, axis_standoff=axis_standoff
@@ -490,6 +497,7 @@ def main():
                     "batch": batch,
                     "goal_capacity": goal_capacity,
                     "iterations": iterations,
+                    "coarse": [coarse_iterations, coarse_stride] if coarse_iterations else None,
                     "standoff": standoff_distance,
                     "surface_points": robot.num_surface_points,
                     "field_size": robot.field_size,

@@ -99,6 +99,7 @@ def make_trajectory_solver(
     config: TrajectoryConfig,
     pre_iteration: Optional[Callable] = None,
     traj_term: Optional[Tuple[Callable, Callable]] = None,
+    coarse: Optional[Tuple[int, Optional[Callable], Optional[Tuple[Callable, Callable]]]] = None,
 ):
     """Build `solve(qc_opt, X0, lo, hi, params) -> (Q_opt, cost, aux)`.
 
@@ -117,6 +118,17 @@ def make_trajectory_solver(
     terms whose inner kernel (e.g. the Pallas min-distance obstacle term)
     must see the whole (T*P) batch in ONE launch instead of T launches
     under vmap — launch-count, not FLOPs, dominates such terms.
+
+    coarse — optional `(k, step_residual_fn_coarse, traj_term_coarse)`:
+    run the FIRST k of `config.iterations` LM iterations against the
+    coarse objective (typically the same cost with the obstacle term
+    evaluated on a strided subset of surface points — a multigrid-in-
+    fidelity schedule), then the remaining iterations at full fidelity.
+    The fine phase restarts its accepted-cost state (costs across the two
+    objectives are not comparable), so the first fine iteration
+    re-evaluates the coarse solution under the true objective; the damping
+    state (lambda) carries over. Requires `config.single_pass`. Pass None
+    for either coarse fn to reuse the full-fidelity one.
 
     Returns the full optimized-joint trajectory (T, n) including the pinned
     prefix, the final cost, and diagnostics.
@@ -146,13 +158,26 @@ def make_trajectory_solver(
         last = Q[-1] - Q[-2]
         return w * jnp.concatenate([inner, last[None]], axis=0)
 
-    def residuals_cost(X, qc_opt, step_aux, params):
+    if coarse is not None:
+        if not config.single_pass:
+            raise NotImplementedError("coarse phase requires single_pass=True")
+        k_coarse = int(coarse[0])
+        step_fn_coarse = coarse[1] or step_residual_fn
+        term_coarse = coarse[2] if coarse[2] is not None else traj_term
+        if not 0 <= k_coarse < config.iterations:
+            raise ValueError(
+                f"coarse iterations {k_coarse} must be in [0, {config.iterations})"
+            )
+    else:
+        k_coarse = 0
+
+    def residuals_cost(X, qc_opt, step_aux, params, step_fn=step_residual_fn, term=traj_term):
         """One full residual pass: total cost only."""
         Q = assemble(X, qc_opt)
-        r = jax.vmap(lambda q, t: step_residual_fn(q, t, step_aux, params))(Q, t_all)
+        r = jax.vmap(lambda q, t: step_fn(q, t, step_aux, params))(Q, t_all)
         c = jnp.sum(r * r) + smooth_cost(Q)
-        if traj_term is not None:
-            r2 = traj_term[0](Q, step_aux, params)
+        if term is not None:
+            r2 = term[0](Q, step_aux, params)
             c = c + jnp.sum(r2 * r2)
         return c
 
@@ -178,19 +203,19 @@ def make_trajectory_solver(
             with jax.default_matmul_precision("default"):
                 return kkt_inner(D, L, g)
 
-        def step_lin(q_t, t, step_aux, params):
+        def step_lin(q_t, t, step_aux, params, step_fn):
             """Primal residuals + Jacobian from ONE traced evaluation
             (jacfwd with has_aux shares the primal computation — gathered
             field rows are fetched once and reused by all tangents)."""
 
             def f(qq):
-                r = step_residual_fn(qq, t, step_aux, params)
+                r = step_fn(qq, t, step_aux, params)
                 return r, r
 
             J, r = jax.jacfwd(f, has_aux=True)(q_t)  # J: (R, n)
             return r, J.T
 
-        def lin_at(X, step_aux):
+        def lin_at(X, step_aux, step_fn=step_residual_fn, term=traj_term):
             """One jacfwd pass at X: cost, GN blocks H, gradient g.
 
             Pinned-prefix residuals contribute constant cost; residuals are
@@ -199,7 +224,7 @@ def make_trajectory_solver(
             assembly (including the traj_term contractions) has ONE home."""
             Q = assemble(X, qc_opt)
             r_all, J_allT = jax.vmap(
-                lambda q, t: step_lin(q, t, step_aux, params)
+                lambda q, t: step_lin(q, t, step_aux, params, step_fn)
             )(Q, t_all)  # r: (T, R); J^T: (T, n, R)
             c = jnp.sum(r_all * r_all) + smooth_cost(Q)
             Jt = J_allT[nf:]  # (F, n, R)
@@ -208,8 +233,8 @@ def make_trajectory_solver(
             # the finite-budget iterate, and they are FLOP-trivial anyway
             H = jnp.einsum("fir,fjr->fij", Jt, Jt)  # (F, n, n)
             g = jnp.einsum("fir,fr->fi", Jt, r_all[nf:]) + smooth_grad_X(Q)
-            if traj_term is not None:
-                r2, J2 = traj_term[1](Q, step_aux, params)  # (T,R2), (T,R2,n)
+            if term is not None:
+                r2, J2 = term[1](Q, step_aux, params)  # (T,R2), (T,R2,n)
                 c = c + jnp.sum(r2 * r2)
                 H = H + jnp.einsum("fri,frj->fij", J2[nf:], J2[nf:])
                 g = g + jnp.einsum("fri,fr->fi", J2[nf:], r2[nf:])
@@ -268,40 +293,45 @@ def make_trajectory_solver(
         def solve_from(H, g, lam):
             return -kkt_solve(damped_D(H, lam), L_off, g)
 
-        def iteration_single(carry, _):
-            """Delayed-gratification LM: ONE residual/jac pass per
-            iteration. The pass at the trial point doubles as its
-            acceptance evaluation; on reject, re-solve from the stored
-            (H, g) of the accepted point with a larger lambda.
+        def make_iteration_single(step_fn, term):
+            def iteration_single(carry, _):
+                """Delayed-gratification LM: ONE residual/jac pass per
+                iteration. The pass at the trial point doubles as its
+                acceptance evaluation; on reject, re-solve from the stored
+                (H, g) of the accepted point with a larger lambda.
 
-            The c_try < c_acc test stays a true descent test on the
-            pointwise-min objective even though step_aux changes between
-            iterations: pre_iteration returns the argmin over the goal set
-            of the only aux-dependent cost part (gto_planner.py
-            pre_iteration), so every recorded cost equals
-            min_aux f(X, aux) at its own point."""
-            X_try, X_acc, H_acc, g_acc, c_acc, lam, aux_prev = carry
-            step_aux = (
-                pre_iteration(assemble(X_try, qc_opt), params)
-                if pre_iteration is not None
-                else aux_prev
-            )
-            c_try, H_try, g_try = lin_at(X_try, step_aux)
+                The c_try < c_acc test stays a true descent test on the
+                pointwise-min objective even though step_aux changes between
+                iterations: pre_iteration returns the argmin over the goal set
+                of the only aux-dependent cost part (gto_planner.py
+                pre_iteration), so every recorded cost equals
+                min_aux f(X, aux) at its own point."""
+                X_try, X_acc, H_acc, g_acc, c_acc, lam, aux_prev = carry
+                step_aux = (
+                    pre_iteration(assemble(X_try, qc_opt), params)
+                    if pre_iteration is not None
+                    else aux_prev
+                )
+                c_try, H_try, g_try = lin_at(X_try, step_aux, step_fn, term)
 
-            accept = jnp.logical_and(c_try < c_acc, jnp.isfinite(c_try))
-            pick = lambda a, b: jnp.where(accept, a, b)
-            X_base = pick(X_try, X_acc)
-            H_base = jax.tree.map(pick, H_try, H_acc)
-            g_base = jax.tree.map(pick, g_try, g_acc)
-            c_base = pick(c_try, c_acc)
-            lam_new = jnp.clip(
-                jnp.where(accept, lam * config.lambda_decrease, lam * config.lambda_increase),
-                config.lambda_min,
-                config.lambda_max,
-            )
-            dX = solve_from(H_base, g_base, lam_new)
-            X_next = jnp.clip(X_base + dX, lo, hi)
-            return (X_next, X_base, H_base, g_base, c_base, lam_new, step_aux), None
+                accept = jnp.logical_and(c_try < c_acc, jnp.isfinite(c_try))
+                pick = lambda a, b: jnp.where(accept, a, b)
+                X_base = pick(X_try, X_acc)
+                H_base = jax.tree.map(pick, H_try, H_acc)
+                g_base = jax.tree.map(pick, g_try, g_acc)
+                c_base = pick(c_try, c_acc)
+                lam_new = jnp.clip(
+                    jnp.where(accept, lam * config.lambda_decrease, lam * config.lambda_increase),
+                    config.lambda_min,
+                    config.lambda_max,
+                )
+                dX = solve_from(H_base, g_base, lam_new)
+                X_next = jnp.clip(X_base + dX, lo, hi)
+                return (X_next, X_base, H_base, g_base, c_base, lam_new, step_aux), None
+
+            return iteration_single
+
+        iteration_single = make_iteration_single(step_residual_fn, traj_term)
 
         aux0 = (
             pre_iteration(assemble(X0, qc_opt), params)
@@ -313,8 +343,19 @@ def make_trajectory_solver(
             H0 = jnp.zeros((F, n, n), dtype)
             g0 = jnp.zeros((F, n), dtype)
             init = (X0, X0, H0, g0, big, jnp.asarray(config.lambda_init, dtype), aux0)
+            if k_coarse:
+                # phase A on the coarse objective; restart the cost state
+                # for phase B from the last coarse-ACCEPTED point (coarse
+                # and fine costs are not comparable), carrying lambda
+                (_, X_acc_c, _, _, _, lam_c, aux_c), _ = jax.lax.scan(
+                    make_iteration_single(step_fn_coarse, term_coarse),
+                    init,
+                    None,
+                    length=k_coarse,
+                )
+                init = (X_acc_c, X_acc_c, H0, g0, big, lam_c, aux_c)
             (X_try, X_acc, _, _, c_acc, lam, step_aux), _ = jax.lax.scan(
-                iteration_single, init, None, length=config.iterations
+                iteration_single, init, None, length=config.iterations - k_coarse
             )
             # One post-scan residual pass: the budget's final KKT solve
             # produced X_try, which the scan would otherwise discard

@@ -153,17 +153,24 @@ class GTORobotModel(RobotModel):
             world = world + jnp.asarray(base_position, self.dtype)
         return world
 
-    def surface_points_soa(self, comps, base_position=None):
+    def surface_points_soa(self, comps, base_position=None, stride: int = 1):
         """World surface points in SoA form from component FK.
 
         comps: output of `fk_components(q)`. Returns (x, y, z), each
         (..., P). Per link the world coordinate is a scalar-broadcast
         multiply-add over the (Pl,) local coordinates — pure elementwise
         VPU work with no (..., P, 3) or 4x4 intermediates, which is what
-        keeps the hot residual path off XLA's padded-tile layouts."""
+        keeps the hot residual path off XLA's padded-tile layouts.
+
+        stride > 1 keeps every stride-th point per link (a uniform
+        surface subsample — the per-link samples are already i.i.d. area
+        weighted): the coarse-fidelity obstacle phase of the trajectory
+        solver evaluates its early iterations on this subset."""
         AR, At = comps
         outs = [[], [], []]
         for fidx, (px, py, pz) in zip(self._surface_frame_idx, self._link_points_soa):
+            if stride > 1:
+                px, py, pz = px[::stride], py[::stride], pz[::stride]
             for i in range(3):
                 w = (
                     AR[i][0][..., fidx, None] * px

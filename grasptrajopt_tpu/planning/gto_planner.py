@@ -76,6 +76,8 @@ class GTOPlanner:
         obstacle_weight: float = 10.0,
         T: int = 50,
         Tmax: float = 10.0,
+        coarse_iterations: int = 0,
+        coarse_stride: int = 2,
     ):
         # T/Tmax: trajectory horizon (reference fixes T=50 over 10 s,
         # gto_planner.py:25-28). The horizon is an array axis here, so long
@@ -111,6 +113,16 @@ class GTOPlanner:
         # single_pass: one fused residual/jac pass per LM iteration
         # (opt/trajectory.py TrajectoryConfig.single_pass)
         self.single_pass = single_pass
+        # coarse_iterations > 0: multigrid-in-fidelity schedule — the first
+        # k LM iterations evaluate the obstacle field term on every
+        # coarse_stride-th surface point (the i.i.d. area-weighted samples
+        # subsample uniformly), the remaining iterations at full fidelity.
+        # The field gather is the dominant per-iteration cost and scales
+        # with the point count, so the coarse phase runs ~stride-x cheaper
+        # per iteration while the fine phase pins the converged equilibrium
+        # at reference fidelity (requires single_pass; field mode only).
+        self.coarse_iterations = int(coarse_iterations)
+        self.coarse_stride = int(coarse_stride)
         # trial-step scales per LM iteration; each candidate costs a full
         # residual pass (None = TrajectoryConfig default)
         self.lm_alphas = lm_alphas
@@ -275,40 +287,49 @@ class GTOPlanner:
                 row_offset=phase_row * g.size + params.get("field_base", 0),
             )
 
-        def field_term_value(Q_opt, step_aux, params):
-            q_param_b = jnp.broadcast_to(params["q_param"], (T,) + params["q_param"].shape)
-            Qf = jax.vmap(robot.assemble_q)(Q_opt, q_param_b)
-            x, y, z = robot.surface_points_soa(
-                robot.fk_components(Qf), params["base_position"]
-            )  # (T, P) each
-            val, _, _, _ = _field_vals_grads(params, x, y, z)
-            return sqrt10 * val  # (T, P)
+        def make_field_term(stride: int = 1):
+            """(value, value_jac) field-term pair at a surface-point stride
+            (stride > 1 = the coarse-fidelity phase's subsampled term)."""
 
-        def field_term_value_jac(Q_opt, step_aux, params):
-            # ONE shared FK trace yields surface points AND their joint
-            # Jacobians (jacfwd has_aux, as in opt/trajectory.py step_lin);
-            # the field's spatial gradient is closed-form from the same
-            # gathered corner rows as the value.
-            def one(q_opt):
-                def f(qq):
-                    q_full = robot.assemble_q(qq, params["q_param"])
-                    xx, yy, zz = robot.surface_points_soa(
-                        robot.fk_components(q_full), params["base_position"]
-                    )
-                    out = jnp.stack([xx, yy, zz], axis=-1)  # (P, 3)
-                    return out, out
+            def field_term_value(Q_opt, step_aux, params):
+                q_param_b = jnp.broadcast_to(params["q_param"], (T,) + params["q_param"].shape)
+                Qf = jax.vmap(robot.assemble_q)(Q_opt, q_param_b)
+                x, y, z = robot.surface_points_soa(
+                    robot.fk_components(Qf), params["base_position"], stride=stride
+                )  # (T, P) each
+                val, _, _, _ = _field_vals_grads(params, x, y, z)
+                return sqrt10 * val  # (T, P)
 
-                J, p = jax.jacfwd(f, has_aux=True)(q_opt)  # (P,3,n), (P,3)
-                return p, J
+            def field_term_value_jac(Q_opt, step_aux, params):
+                # ONE shared FK trace yields surface points AND their joint
+                # Jacobians (jacfwd has_aux, as in opt/trajectory.py step_lin);
+                # the field's spatial gradient is closed-form from the same
+                # gathered corner rows as the value.
+                def one(q_opt):
+                    def f(qq):
+                        q_full = robot.assemble_q(qq, params["q_param"])
+                        xx, yy, zz = robot.surface_points_soa(
+                            robot.fk_components(q_full), params["base_position"],
+                            stride=stride,
+                        )
+                        out = jnp.stack([xx, yy, zz], axis=-1)  # (P, 3)
+                        return out, out
 
-            pts, J_pts = jax.vmap(one)(Q_opt)  # (T,P,3), (T,P,3,n)
-            val, gx, gy, gz = _field_vals_grads(
-                params, pts[..., 0], pts[..., 1], pts[..., 2]
-            )
-            r = sqrt10 * val  # (T, P)
-            grad = jnp.stack([gx, gy, gz], axis=-1)  # (T, P, 3)
-            J = sqrt10 * jnp.einsum("tpc,tpcn->tpn", grad, J_pts)
-            return r, J
+                    J, p = jax.jacfwd(f, has_aux=True)(q_opt)  # (P,3,n), (P,3)
+                    return p, J
+
+                pts, J_pts = jax.vmap(one)(Q_opt)  # (T,P,3), (T,P,3,n)
+                val, gx, gy, gz = _field_vals_grads(
+                    params, pts[..., 0], pts[..., 1], pts[..., 2]
+                )
+                r = sqrt10 * val  # (T, P)
+                grad = jnp.stack([gx, gy, gz], axis=-1)  # (T, P, 3)
+                J = sqrt10 * jnp.einsum("tpc,tpcn->tpn", grad, J_pts)
+                return r, J
+
+            return field_term_value, field_term_value_jac
+
+        field_term_value, field_term_value_jac = make_field_term()
 
         def step_residual(q_opt, t, goal_idx, params):
             # component-form FK once per step: layout-clean scalars feed the
@@ -395,8 +416,23 @@ class GTOPlanner:
             traj_term = (obstacle_term_value, obstacle_term_value_jac)
         elif use_field_term:
             traj_term = (field_term_value, field_term_value_jac)
+        coarse = None
+        if self.coarse_iterations:
+            if not (use_field_term and self.single_pass):
+                raise NotImplementedError(
+                    "coarse_iterations requires single_pass=True and the "
+                    "trilinear field obstacle term"
+                )
+            # goal rows (step_residual) stay full fidelity; only the
+            # obstacle field term coarsens
+            coarse = (
+                self.coarse_iterations,
+                None,
+                make_field_term(self.coarse_stride),
+            )
         solver = make_trajectory_solver(
-            step_residual, cfg, pre_iteration=pre_iteration, traj_term=traj_term
+            step_residual, cfg, pre_iteration=pre_iteration, traj_term=traj_term,
+            coarse=coarse,
         )
 
         lo = jnp.asarray(robot.lower_optimized_joint_limits, dtype)
