@@ -79,6 +79,10 @@ def make_args():
     p.add_argument("--height", type=int, default=160)
     p.add_argument("--goal_capacity", type=int, default=32)
     p.add_argument("--iterations", type=int, default=50)
+    p.add_argument("--single_pass", action="store_true",
+                   help="delayed-gratification LM (the bench default flavor)")
+    p.add_argument("--coarse", type=int, default=0,
+                   help="coarse-fidelity obstacle iterations (requires --single_pass)")
     p.add_argument("--outdir", default="results")
     p.add_argument("--data_dir", default=None)
     p.add_argument("--grid_resolution", type=float, default=None,
@@ -123,6 +127,8 @@ def evaluate_scenes(
     height: int = 160,
     goal_capacity: int = 32,
     iterations: int = 50,
+    single_pass: bool = False,
+    coarse_iterations: int = 0,
     orderings=None,
     verbose: bool = True,
     field_epsilon: float = None,
@@ -152,6 +158,8 @@ def evaluate_scenes(
         standoff_distance=knobs["standoff_distance"],
         goal_capacity=goal_capacity, grid=robot.grid,
         ik_capacity=goal_capacity, planner_iterations=iterations,
+        planner_single_pass=single_pass,
+        planner_coarse_iterations=coarse_iterations,
         goal_weight=knobs.get("goal_weight", {}).get(cfg["robot_name"], 1.0),
         interpolate=knobs.get("interpolate", True),
         field_epsilon=field_epsilon,
@@ -253,6 +261,7 @@ def main():
         scene_type=args.scene_type, scene_ids=scene_ids,
         n_objects=args.n_objects, width=args.width, height=args.height,
         goal_capacity=args.goal_capacity, iterations=args.iterations,
+        single_pass=args.single_pass, coarse_iterations=args.coarse,
         field_epsilon=args.field_epsilon, views=args.views,
     )
     elapsed = time.time() - t0

@@ -76,6 +76,8 @@ class GraspPipeline:
         grid=None,
         ik_capacity: Optional[int] = None,
         planner_iterations: int = 50,
+        planner_single_pass: bool = False,
+        planner_coarse_iterations: int = 0,
         ik_iterations: int = 50,
         rescue: bool = True,
         rescue_pos_tol: float = 0.02,
@@ -159,10 +161,16 @@ class GraspPipeline:
         # goal_weight: terminal goal-row weight (1.0 = reference parity);
         # deep-standoff configs (shelf, -0.2) use ~4 to counter the
         # rotation-error equilibrium (docs/PERF.md standoff investigation)
+        # planner_single_pass / planner_coarse_iterations: the bench
+        # defaults (delayed-gratification LM; optional coarse-fidelity
+        # obstacle phase) exposed here so closed-loop evaluation can
+        # validate exactly the benchmarked solver configuration
         self.planner = GTOPlanner(
             robot, link_ee, link_gripper,
             standoff_distance=standoff_distance, standoff_offset=standoff_offset,
             iterations=planner_iterations, goal_weight=goal_weight,
+            single_pass=planner_single_pass,
+            coarse_iterations=planner_coarse_iterations,
         )
         self._planner_exact: Optional[GTOPlanner] = None
         self.ik_solver = IKSolver(
@@ -414,6 +422,9 @@ class GraspPipeline:
                 obstacle_weight=self.escalate_obstacle_weight,
                 obstacle_mode="points",
                 sdf_epsilon=self.escalate_epsilon,
+                # coarse phase is field-mode only; single_pass follows the
+                # main planner so the escalation tier matches its LM flavor
+                single_pass=self.planner.single_pass,
             )
         depths, poses, masks = self._as_views(depth, cam_pose, target_mask)
         scene_obstacle, scene_target = scene_point_sets_from_depth(
