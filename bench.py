@@ -225,8 +225,13 @@ def main():
     horizon = int(os.environ.get("BENCH_T", "50"))
     # BENCH_COARSE: first k LM iterations evaluate the obstacle term on a
     # BENCH_COARSE_STRIDE-subsampled surface point set (multigrid-in-
-    # fidelity; the fine phase pins the equilibrium at reference fidelity)
-    coarse_iterations = int(os.environ.get("BENCH_COARSE", "0"))
+    # fidelity; the fine phase pins the equilibrium at reference fidelity).
+    # Default 3 (of the 6-iteration budget): validated like the budget
+    # itself — all four bench configs green with error stats identical to
+    # the plain schedule (docs/PERF.md round 3), closed-loop tabletop 50/50
+    # with 0 collisions running single-pass + coarse inside the pipeline.
+    # BENCH_COARSE=0 restores the plain full-fidelity schedule.
+    coarse_iterations = int(os.environ.get("BENCH_COARSE", "3"))
     coarse_stride = int(os.environ.get("BENCH_COARSE_STRIDE", "2"))
     planner = GTOPlanner(
         robot, link_ee, link_gripper, iterations=iterations, obstacle_mode=obstacle_mode,
