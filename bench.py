@@ -26,7 +26,11 @@ instead of the reference-style IK warm start), BENCH_STACKED (per-problem
 fields packed into one flat table riding the shared-gather path),
 BENCH_INFLIGHT / BENCH_PIPE_REPS (steady-state pipelining depth / length —
 the headline value is sustained throughput with async dispatch hiding the
-tunnel's ~25 ms/call host overhead; single-batch latency stays in detail).
+tunnel's ~25 ms/call host overhead; single-batch latency stays in detail),
+BENCH_T (horizon) / BENCH_CR (cyclic-reduction KKT for long horizons),
+BENCH_GOALW (terminal goal-row weight; ~4 for deep standoffs),
+BENCH_COARSE / BENCH_COARSE_STRIDE (coarse-fidelity obstacle phase;
+0 restores the plain full-fidelity schedule).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "quality"}.
 """
