@@ -237,6 +237,11 @@ def main():
     # BENCH_COARSE=0 restores the plain full-fidelity schedule.
     coarse_iterations = int(os.environ.get("BENCH_COARSE", "3"))
     coarse_stride = int(os.environ.get("BENCH_COARSE_STRIDE", "2"))
+    if not single_pass or obstacle_mode != "field":
+        # the coarse phase is defined for the single-pass LM field path
+        # only; the classic two-pass and points-mode configs run the plain
+        # schedule rather than erroring under the default BENCH_COARSE
+        coarse_iterations = 0
     planner = GTOPlanner(
         robot, link_ee, link_gripper, iterations=iterations, obstacle_mode=obstacle_mode,
         field_dtype=field_dtype, lm_alphas=lm_alphas, standoff_distance=standoff_distance,
