@@ -83,6 +83,8 @@ def make_args():
                    help="delayed-gratification LM (the bench default flavor)")
     p.add_argument("--coarse", type=int, default=0,
                    help="coarse-fidelity obstacle iterations (requires --single_pass)")
+    p.add_argument("--coarse_stride", type=int, default=2,
+                   help="surface-point stride of the coarse phase")
     p.add_argument("--outdir", default="results")
     p.add_argument("--data_dir", default=None)
     p.add_argument("--grid_resolution", type=float, default=None,
@@ -129,6 +131,7 @@ def evaluate_scenes(
     iterations: int = 50,
     single_pass: bool = False,
     coarse_iterations: int = 0,
+    coarse_stride: int = 2,
     orderings=None,
     verbose: bool = True,
     field_epsilon: float = None,
@@ -160,6 +163,7 @@ def evaluate_scenes(
         ik_capacity=goal_capacity, planner_iterations=iterations,
         planner_single_pass=single_pass,
         planner_coarse_iterations=coarse_iterations,
+        planner_coarse_stride=coarse_stride,
         goal_weight=knobs.get("goal_weight", {}).get(cfg["robot_name"], 1.0),
         interpolate=knobs.get("interpolate", True),
         field_epsilon=field_epsilon,
@@ -262,6 +266,7 @@ def main():
         n_objects=args.n_objects, width=args.width, height=args.height,
         goal_capacity=args.goal_capacity, iterations=args.iterations,
         single_pass=args.single_pass, coarse_iterations=args.coarse,
+        coarse_stride=args.coarse_stride,
         field_epsilon=args.field_epsilon, views=args.views,
     )
     elapsed = time.time() - t0

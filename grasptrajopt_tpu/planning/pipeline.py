@@ -78,6 +78,7 @@ class GraspPipeline:
         planner_iterations: int = 50,
         planner_single_pass: bool = False,
         planner_coarse_iterations: int = 0,
+        planner_coarse_stride: int = 2,
         ik_iterations: int = 50,
         rescue: bool = True,
         rescue_pos_tol: float = 0.02,
@@ -171,6 +172,7 @@ class GraspPipeline:
             iterations=planner_iterations, goal_weight=goal_weight,
             single_pass=planner_single_pass,
             coarse_iterations=planner_coarse_iterations,
+            coarse_stride=planner_coarse_stride,
         )
         self._planner_exact: Optional[GTOPlanner] = None
         self.ik_solver = IKSolver(

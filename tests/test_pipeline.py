@@ -265,6 +265,26 @@ class TestGraspPipeline:
         errs = np.linalg.norm(RTs[:, :3, 3] - T_end[:3, 3], axis=1)
         assert errs.min() < 0.03, f"goal errors {errs}"
 
+    def test_coarse_knobs_reach_planner(self, panda, data_dir):
+        """The benchmarked solver flavor (single-pass LM, coarse phase with
+        a stride) must be expressible through the pipeline so closed-loop
+        evaluation validates exactly the benchmarked configuration."""
+        robot, cfg = panda
+        gripper = GTORobotModel(
+            model_dir=f"{data_dir}/robots/panda",
+            urdf_filename=f"{data_dir}/robots/panda/panda_gripper.urdf",
+            dtype=jnp.float64,
+        )
+        pipeline = GraspPipeline(
+            robot, gripper, cfg["link_ee"], cfg["link_gripper"],
+            planner_iterations=4, planner_single_pass=True,
+            planner_coarse_iterations=2, planner_coarse_stride=4,
+        )
+        assert pipeline.planner.iterations == 4
+        assert pipeline.planner.single_pass
+        assert pipeline.planner.coarse_iterations == 2
+        assert pipeline.planner.coarse_stride == 4
+
     def test_rescue_branch_recovers_bad_goalset_plan(self, panda, data_dir):
         """Drive plan_object's rescue path end-to-end: force the goal-set
         solve to return a useless constant plan and assert the batched
