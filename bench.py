@@ -3,7 +3,8 @@
 Measures the flagship path — batched goal-set trajectory optimization
 (GTOPlanner core program: 50-step horizon, goal-set point matching with
 standoff, trilinear SDF obstacle cost over all body surface points, box
-limits, 50 projected-LM iterations) — and reports throughput against the
+limits, projected-LM iterations at a per-robot validated budget: panda 4,
+fetch 6, coarse-fidelity first half) — and reports throughput against the
 reference's CPU pipeline, PLUS plan-quality gates: the timed plans are
 checked for goal reach (final end-effector pose within the reference's IK
 acceptance gates, pybullet_gto_planning.py:262) and collision (> 5 body
@@ -107,16 +108,20 @@ def main():
     # Configuration via env for experimentation; defaults sized for one chip.
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     goal_capacity = int(os.environ.get("BENCH_GOALS", "8"))
-    # 6 LM iterations: the lowest budget validated on the bench quality
-    # gates in EVERY config (panda shared/per-problem/fetch/deep-standoff,
-    # docs/PERF.md round-3 sweep) AND closed-loop (50/50 tabletop success,
-    # 0 collisions, at 6 — the same criteria that set the round-2 default).
+    robot_name = os.environ.get("BENCH_ROBOT", "panda")
+    # Per-robot LM iteration budget — the lowest validated green on the
+    # bench quality gates for THAT robot (docs/PERF.md round-3/4 sweeps):
+    #   panda: 4 (gates green in shared/per-problem/deep-standoff with
+    #     error stats identical to budget 6; closed-loop tabletop 50/50 at
+    #     4 + coarse 2+2 — same criteria that set the round-2/3 defaults)
+    #   fetch: 6 (at 4 the 15-DoF reach gate slips to 0.938 — two of 32
+    #     plans miss the 5-degree rotation gate; 6 keeps reached 1.0)
     # The reference runs Ipopt with up to 100 interior-point iterations on
     # the same warm-start scheme.
-    iterations = int(os.environ.get("BENCH_ITERS", "6"))
+    default_iters = {"fetch": 6}.get(robot_name, 4)
+    iterations = int(os.environ.get("BENCH_ITERS", str(default_iters)))
     points_per_link = int(os.environ.get("BENCH_PPL", "100"))
     reps = int(os.environ.get("BENCH_REPS", "2"))
-    robot_name = os.environ.get("BENCH_ROBOT", "panda")
     obstacle_mode = os.environ.get("BENCH_MODE", "field")  # field | points
     standoff_distance = float(os.environ.get("BENCH_STANDOFF", "-0.1"))
     mesh_devices = int(os.environ.get("BENCH_MESH", "0"))
@@ -230,12 +235,13 @@ def main():
     # BENCH_COARSE: first k LM iterations evaluate the obstacle term on a
     # BENCH_COARSE_STRIDE-subsampled surface point set (multigrid-in-
     # fidelity; the fine phase pins the equilibrium at reference fidelity).
-    # Default 3 (of the 6-iteration budget): validated like the budget
-    # itself — all four bench configs green with error stats identical to
-    # the plain schedule (docs/PERF.md round 3), closed-loop tabletop 50/50
-    # with 0 collisions running single-pass + coarse inside the pipeline.
+    # Default: half the iteration budget (2+2 at the panda default, 3+3 at
+    # fetch's 6) — validated like the budget itself: every even-split
+    # schedule tried leaves the bench error stats identical to the plain
+    # schedule (docs/PERF.md rounds 3-4), closed-loop tabletop 50/50 with
+    # 0 collisions running single-pass + coarse inside the pipeline.
     # BENCH_COARSE=0 restores the plain full-fidelity schedule.
-    coarse_iterations = int(os.environ.get("BENCH_COARSE", "3"))
+    coarse_iterations = int(os.environ.get("BENCH_COARSE", str(iterations // 2)))
     coarse_stride = int(os.environ.get("BENCH_COARSE_STRIDE", "2"))
     if not single_pass or obstacle_mode != "field":
         # the coarse phase is defined for the single-pass LM field path

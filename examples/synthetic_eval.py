@@ -136,13 +136,19 @@ def evaluate_scenes(
     verbose: bool = True,
     field_epsilon: float = None,
     views: int = None,
+    checkpoint_path: str = None,
 ):
     """Run the full pipeline over synthetic scenes; returns the result dict
     in the reference schema plus collision statistics.
 
     The caller owns the grid resolution (build the robot's workspace field
     at SCENE_KNOBS[scene_type]['grid_resolution']); field_epsilon defaults
-    to the scene-type knob."""
+    to the scene-type knob.
+
+    checkpoint_path: when set, the (partial) result dict is re-dumped to
+    this JSON after EVERY object — long sweeps survive interruption at
+    object granularity (the reference driver checkpoints per scene;
+    pybullet_gto_planning.py --resume)."""
     knobs = SCENE_KNOBS[scene_type]
     orderings = orderings or knobs["orderings"]
     if field_epsilon is None:
@@ -230,6 +236,11 @@ def evaluate_scenes(
                     rec.update(s)
                     rec["plan"] = res.plan.tolist()
                 order_rec[name] = rec
+                if checkpoint_path is not None:
+                    snapshot = dict(results)
+                    snapshot[str(scene_id)] = {**scene_rec, ordering: order_rec}
+                    with open(checkpoint_path, "w") as f:
+                        json.dump(snapshot, f)
                 env.remove_object(name)
                 if verbose:
                     print(
@@ -259,6 +270,14 @@ def main():
     )
     scene_ids = [int(s) for s in args.scene_ids.split(",")]
 
+    os.makedirs(args.outdir, exist_ok=True)
+    stamp = datetime.datetime.now().strftime("%y-%m-%d_T%H%M%S")
+    views_n = args.views or SCENE_KNOBS[args.scene_type].get("views", 1)
+    tag = f"_mv{views_n}" if views_n > 1 else ""
+    out = os.path.join(
+        args.outdir, f"GTO_synthetic_{args.robot}_{args.scene_type}{tag}_{stamp}.json"
+    )
+
     t0 = time.time()
     results = evaluate_scenes(
         robot, gripper, cfg,
@@ -268,16 +287,10 @@ def main():
         single_pass=args.single_pass, coarse_iterations=args.coarse,
         coarse_stride=args.coarse_stride,
         field_epsilon=args.field_epsilon, views=args.views,
+        checkpoint_path=out,
     )
     elapsed = time.time() - t0
 
-    os.makedirs(args.outdir, exist_ok=True)
-    stamp = datetime.datetime.now().strftime("%y-%m-%d_T%H%M%S")
-    views = args.views or SCENE_KNOBS[args.scene_type].get("views", 1)
-    tag = f"_mv{views}" if views > 1 else ""
-    out = os.path.join(
-        args.outdir, f"GTO_synthetic_{args.robot}_{args.scene_type}{tag}_{stamp}.json"
-    )
     with open(out, "w") as f:
         json.dump(results, f)
 
