@@ -240,8 +240,12 @@ def main():
     # schedule tried leaves the bench error stats identical to the plain
     # schedule (docs/PERF.md rounds 3-4), closed-loop tabletop 50/50 with
     # 0 collisions running single-pass + coarse inside the pipeline.
-    # BENCH_COARSE=0 restores the plain full-fidelity schedule.
-    coarse_iterations = int(os.environ.get("BENCH_COARSE", str(iterations // 2)))
+    # BENCH_COARSE=0 restores the plain full-fidelity schedule. The
+    # default is capped at 3: only splits up to 3+3 have been validated,
+    # and a BENCH_ITERS=50 parity run should not silently become 25+25.
+    coarse_iterations = int(
+        os.environ.get("BENCH_COARSE", str(min(3, iterations // 2)))
+    )
     coarse_stride = int(os.environ.get("BENCH_COARSE_STRIDE", "2"))
     if not single_pass or obstacle_mode != "field":
         # the coarse phase is defined for the single-pass LM field path

@@ -85,6 +85,11 @@ def make_args():
                    help="coarse-fidelity obstacle iterations (requires --single_pass)")
     p.add_argument("--coarse_stride", type=int, default=2,
                    help="surface-point stride of the coarse phase")
+    p.add_argument("--resume", default=None,
+                   help="path to a (partial) result JSON from an interrupted "
+                        "run; completed objects are skipped and new results "
+                        "are checkpointed into the SAME file. The solver "
+                        "flavor flags must match the original run.")
     p.add_argument("--outdir", default="results")
     p.add_argument("--data_dir", default=None)
     p.add_argument("--grid_resolution", type=float, default=None,
@@ -137,6 +142,7 @@ def evaluate_scenes(
     field_epsilon: float = None,
     views: int = None,
     checkpoint_path: str = None,
+    prior: dict = None,
 ):
     """Run the full pipeline over synthetic scenes; returns the result dict
     in the reference schema plus collision statistics.
@@ -148,7 +154,12 @@ def evaluate_scenes(
     checkpoint_path: when set, the (partial) result dict is re-dumped to
     this JSON after EVERY object — long sweeps survive interruption at
     object granularity (the reference driver checkpoints per scene;
-    pybullet_gto_planning.py --resume)."""
+    pybullet_gto_planning.py --resume).
+
+    prior: a (partial) result dict from an interrupted run with the same
+    flavor flags; objects already recorded there are skipped (the env
+    still removes them so later objects see the same scene state — the
+    env's only RNG is the scene_id-seeded setup)."""
     knobs = SCENE_KNOBS[scene_type]
     orderings = orderings or knobs["orderings"]
     if field_epsilon is None:
@@ -186,6 +197,19 @@ def evaluate_scenes(
             env.reset_scene()
             order_rec = {}
             for name in meta[ordering].split(","):
+                prev = (
+                    (prior or {}).get(str(scene_id), {}).get(ordering, {}).get(name)
+                )
+                if prev is not None and "reward" in prev:
+                    order_rec[name] = prev
+                    env.remove_object(name)
+                    if verbose:
+                        print(
+                            f"scene {scene_id} [{ordering}] {name}: resumed "
+                            f"(reward={prev.get('reward', 0)})",
+                            flush=True,
+                        )
+                    continue
                 cam_poses = env.camera_poses(views)
                 uid = env._placed(name).uid
                 depths, masks = [], []
@@ -239,8 +263,10 @@ def evaluate_scenes(
                 if checkpoint_path is not None:
                     snapshot = dict(results)
                     snapshot[str(scene_id)] = {**scene_rec, ordering: order_rec}
-                    with open(checkpoint_path, "w") as f:
+                    # atomic: never leave a truncated checkpoint behind
+                    with open(checkpoint_path + ".tmp", "w") as f:
                         json.dump(snapshot, f)
+                    os.replace(checkpoint_path + ".tmp", checkpoint_path)
                 env.remove_object(name)
                 if verbose:
                     print(
@@ -271,12 +297,24 @@ def main():
     scene_ids = [int(s) for s in args.scene_ids.split(",")]
 
     os.makedirs(args.outdir, exist_ok=True)
-    stamp = datetime.datetime.now().strftime("%y-%m-%d_T%H%M%S")
-    views_n = args.views or SCENE_KNOBS[args.scene_type].get("views", 1)
-    tag = f"_mv{views_n}" if views_n > 1 else ""
-    out = os.path.join(
-        args.outdir, f"GTO_synthetic_{args.robot}_{args.scene_type}{tag}_{stamp}.json"
-    )
+    prior = None
+    if args.resume:
+        with open(args.resume) as f:
+            prior = json.load(f)
+        out = args.resume
+        n_prior = sum(
+            len(objs) for ords in prior.values() for objs in ords.values()
+        )
+        print(f"resuming {args.resume}: {n_prior} objects already recorded",
+              flush=True)
+    else:
+        stamp = datetime.datetime.now().strftime("%y-%m-%d_T%H%M%S")
+        views_n = args.views or SCENE_KNOBS[args.scene_type].get("views", 1)
+        tag = f"_mv{views_n}" if views_n > 1 else ""
+        out = os.path.join(
+            args.outdir,
+            f"GTO_synthetic_{args.robot}_{args.scene_type}{tag}_{stamp}.json",
+        )
 
     t0 = time.time()
     results = evaluate_scenes(
@@ -288,11 +326,13 @@ def main():
         coarse_stride=args.coarse_stride,
         field_epsilon=args.field_epsilon, views=args.views,
         checkpoint_path=out,
+        prior=prior,
     )
     elapsed = time.time() - t0
 
-    with open(out, "w") as f:
+    with open(out + ".tmp", "w") as f:
         json.dump(results, f)
+    os.replace(out + ".tmp", out)
 
     agg = aggregate_results(results)
     collisions = sum(
