@@ -508,6 +508,22 @@ def main():
     }
     if quality is not None:
         result["quality"] = quality
+
+    # end-to-end perception -> IK -> plan pipeline block (bench_e2e.py):
+    # objects/s with per-phase device times vs the reference's 12.84 s/object
+    # (0.60 check + 1.99 IK + 10.25 plan, BASELINE.md). BENCH_E2E=0 skips.
+    if (
+        os.environ.get("BENCH_E2E", "1") == "1"
+        and use_reference_robot
+        and robot_name == "panda"
+        and not mesh_devices
+    ):
+        try:
+            from bench_e2e import run_e2e
+
+            result["e2e"] = run_e2e()
+        except Exception as e:  # never let the e2e block kill the headline
+            result["e2e"] = {"error": repr(e)}
     print(json.dumps(result))
     print(
         json.dumps(

@@ -1,0 +1,357 @@
+"""End-to-end perception -> plan pipeline benchmark on TPU.
+
+Measures the FULL per-object pipeline the reference drivers run on CPU
+(/root/reference/examples/pybullet_gto_planning.py:175-295):
+
+  phase 1 "checking": depth image -> two SDF cost fields on the workspace
+      grid (scene + target-free obstacle; MXU-tiled min-distance +
+      eps-band shaping, the KD-tree replacement) + the batched gripper
+      collision pre-filter over the grasp set      [reference: 0.60 s/obj]
+  phase 2 "ik": the whole grasp set as one vmapped multistart
+      projected-LM batch + warm-start trajectory construction
+                                                   [reference: 1.99 s/obj]
+  phase 3 "plan": goal-set trajectory optimization with per-problem
+      stacked fields at the deployment goal capacity (32)
+                                                   [reference: 10.25 s/obj]
+
+All three phases are single jit-compiled device programs over a batch of
+objects drawn from the synthetic SceneReplica-style tabletop scenes
+(envs/synthetic.py) — real depth observations from the z-buffer renderer,
+per-object observations captured scene-sequentially exactly like the
+closed-loop eval. The reference runs each phase per object on CPU
+(Ipopt per grasp for IK, one Ipopt NLP for the plan).
+
+Gates (untimed): goal reach within the reference's IK acceptance gates
+(pybullet_gto_planning.py:262) and replay collision against the EXACT
+obstacle depth cloud (> 5 body points at sdf < 0 on any step, baseline
+contacts excluded — pybullet_evaluate_plans.py:219-237 semantics).
+
+Run standalone (`python bench_e2e.py`) or via bench.py (BENCH_E2E=1,
+the default — the e2e block lands in the bench result JSON).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# reference per-object wall times (BASELINE.md, panda tabletop split)
+REF_CHECK_S = 0.60
+REF_IK_S = 1.99
+REF_PLAN_S = 10.25
+REF_TOTAL_S = REF_CHECK_S + REF_IK_S + REF_PLAN_S
+
+
+def run_e2e():
+    batch = int(os.environ.get("BENCH_E2E_BATCH", "16"))
+    goal_capacity = int(os.environ.get("BENCH_E2E_GOALS", "32"))
+    reps = int(os.environ.get("BENCH_E2E_REPS", "3"))
+    iterations = int(os.environ.get("BENCH_E2E_ITERS", "4"))
+    coarse_iterations = int(
+        os.environ.get("BENCH_E2E_COARSE", str(min(3, iterations // 2)))
+    )
+    width = height = int(os.environ.get("BENCH_E2E_RES", "160"))
+    data_dir = os.environ.get("GTO_DATA_DIR", "/root/reference/data")
+    depth_threshold = 1.5
+    field_epsilon = 0.02
+
+    import jax
+    import jax.numpy as jnp
+
+    from grasptrajopt_tpu.envs.synthetic import SyntheticSceneEnv
+    from grasptrajopt_tpu.fields import DepthPointCloud
+    from grasptrajopt_tpu.fields.depth_point_cloud import sdf_cost_shaping
+    from grasptrajopt_tpu.planning.gto_models import GTORobotModel
+    from grasptrajopt_tpu.planning.gto_planner import GTOPlanner
+    from grasptrajopt_tpu.planning.ik_solver import IKSolver
+    from grasptrajopt_tpu.planning.utils import (
+        interpolate_waypoints_jnp,
+        load_robot_config,
+    )
+    from grasptrajopt_tpu.spatial import r2quat, transform_points
+    from grasptrajopt_tpu.spatial.quaternion import qangle_deg
+
+    # -- models (host, one-time; the reference builds these once too) ---------
+    cfg = load_robot_config("panda", data_dir)
+    urdf_rel = cfg["urdf_robot_path"].split("data/", 1)[-1]
+    grip_rel = cfg["urdf_gripper_path"].split("data/", 1)[-1]
+    robot = GTORobotModel(
+        model_dir=os.path.join(data_dir, "robots", "panda"),
+        urdf_filename=os.path.join(data_dir, urdf_rel),
+        time_derivs=[0, 1],
+        param_joints=cfg["param_joints"],
+        collision_link_names=cfg["collision_link_names"],
+        dtype=jnp.float32,
+    )
+    robot.setup_workspace_field(arm_len=cfg["arm_len"], arm_height=cfg["arm_height"])
+    gripper = GTORobotModel(
+        model_dir=os.path.join(data_dir, "robots", "panda"),
+        urdf_filename=os.path.join(data_dir, grip_rel),
+        dtype=jnp.float32,
+    )
+    grid = robot.grid
+    link_ee, link_gripper = cfg["link_ee"], cfg["link_gripper"]
+    axis_standoff = cfg["axis_standoff"]
+    qc = np.asarray(cfg["default_pose"], np.float32)
+
+    # -- scene observations (host, untimed: this is the CAMERA, not the
+    #    framework; the reference gets its depth images from pybullet) -------
+    env = SyntheticSceneEnv(
+        robot_name="panda", scene_type="tabletop", n_objects=5,
+        width=width, height=height, depth_threshold=depth_threshold,
+    )
+    base_position = np.asarray(env.base_position, np.float32)
+    depths, masks, poses, grasp_sets, names = [], [], [], [], []
+    K = None
+    for scene_id in (10, 36, 48, 65):
+        if len(depths) >= batch:
+            break
+        meta = env.setup_scene(scene_id)
+        env.reset_scene()
+        for name in meta["nearest_first"].split(","):
+            uid = env._placed(name).uid
+            depth, ids, cam_pose, K = env.get_observation()
+            depths.append(np.asarray(depth, np.float32))
+            masks.append(np.asarray(ids == uid))
+            poses.append(np.asarray(cam_pose, np.float32))
+            grasp_sets.append(
+                np.asarray(env.grasps_world(name, capacity=goal_capacity), np.float32)
+            )
+            names.append(f"{scene_id}/{name}")
+            env.remove_object(name)
+            if len(depths) >= batch:
+                break
+    while len(depths) < batch:  # pad by repeating (static batch shape)
+        depths.append(depths[0]); masks.append(masks[0]); poses.append(poses[0])
+        grasp_sets.append(grasp_sets[0]); names.append(names[0] + "(pad)")
+    depth_b = jnp.asarray(np.stack(depths))            # (B, H, W)
+    mask_b = jnp.asarray(np.stack(masks))              # (B, H, W) bool
+    pose_b = jnp.asarray(np.stack(poses))              # (B, 4, 4)
+    K_j = jnp.asarray(np.asarray(K, np.float32))
+    tf_goal_world = np.stack(grasp_sets)               # (B, cap, 4, 4)
+    tf_goal = tf_goal_world.copy()
+    tf_goal[..., :3, 3] -= base_position               # robot-base frame
+    tf_goal = jnp.asarray(tf_goal)
+
+    # -- solver programs ------------------------------------------------------
+    planner = GTOPlanner(
+        robot, link_ee, link_gripper,
+        iterations=iterations, single_pass=True,
+        coarse_iterations=coarse_iterations,
+        standoff_distance=-0.1,
+    )
+    solvers = planner.setup_optimization(
+        goal_size=goal_capacity, use_standoff=True, axis_standoff=axis_standoff
+    )
+    ik = IKSolver(robot, link_ee, link_gripper, collision_avoidance=False)
+    ik.setup_optimization(grid)
+
+    opt_idx = robot.optimized_joint_indexes
+    par_idx = robot.parameter_joint_indexes
+    qc_j = jnp.asarray(qc)
+    qc_opt = jnp.tile(qc_j[jnp.asarray(opt_idx)], (batch, 1))
+    q_param = (
+        jnp.tile(qc_j[jnp.asarray(par_idx)], (batch, 1))
+        if par_idx else jnp.zeros((batch, 0), jnp.float32)
+    )
+    grid_pts = jnp.asarray(grid.grid_points(), jnp.float32)
+    gpts_local, _ = gripper.compute_fk_surface_points(
+        np.asarray(cfg["gripper_open_offsets"])
+    )
+    gpts_local = jnp.asarray(gpts_local, jnp.float32)
+    RT_filter_off = jnp.asarray(
+        robot.get_standoff_pose(-0.01, axis_standoff), jnp.float32
+    )
+
+    # -- phase 1: fields + grasp collision pre-filter -------------------------
+    def fields_one(depth, mask, cam_pose, RT_grasps_world):
+        """One object: two shaped cost fields on the workspace grid (packed
+        corner-row tables) + the gripper-point collision filter — the
+        reference's entire "checking" phase (driver :175-240) as one
+        device program."""
+        dpc_all = DepthPointCloud(
+            depth, K_j, cam_pose, threshold=depth_threshold
+        )
+        d_obs = jnp.where(mask, depth_threshold, depth)
+        dpc_obs = DepthPointCloud(
+            d_obs, K_j, cam_pose, mask, threshold=depth_threshold
+        )
+        f_all = sdf_cost_shaping(dpc_all.get_sdf(grid_pts), field_epsilon)
+        f_obs = sdf_cost_shaping(dpc_obs.get_sdf(grid_pts), field_epsilon)
+        packed = jnp.concatenate([grid.pack(f_all), grid.pack(f_obs)], axis=0)
+        # grasp pre-filter: gripper surface points at every standoff pose
+        # vs the obstacle cloud (driver :202-240)
+        gp = transform_points(RT_grasps_world @ RT_filter_off, gpts_local)
+        sdf_g = dpc_obs.get_sdf(gp.reshape(-1, 3)).reshape(gp.shape[:2])
+        keep = (sdf_g < 0).mean(axis=1) <= 0.01
+        return packed, keep
+
+    @jax.jit
+    def phase_fields(depth_b, mask_b, pose_b, tf_world_b):
+        packed_b, keep_b = jax.vmap(fields_one)(
+            depth_b, mask_b, pose_b, tf_world_b
+        )
+        S2 = packed_b.shape[1]
+        tables = packed_b.reshape(batch * S2, 8)
+        base = jnp.arange(batch, dtype=jnp.int32) * S2
+        return tables, base, keep_b
+
+    # -- phase 2: multistart IK screen + warm-start construction --------------
+    @jax.jit
+    def phase_ik(tf_goal_b, keys):
+        N = batch * goal_capacity
+        RT_flat = tf_goal_b.reshape(N, 4, 4)
+        params = {
+            "tf_goal": RT_flat,
+            "q_param": jnp.repeat(q_param, goal_capacity, axis=0),
+        }
+        q0_opt = jnp.repeat(qc_opt, goal_capacity, axis=0)
+        q_opt_s, _, _ = ik._solve_batch_multi(q0_opt, params, keys)
+        q_full = jax.vmap(robot.assemble_q)(
+            q_opt_s, params["q_param"]
+        )  # (N, ndof)
+        T_ee = robot.get_global_link_transform(link_ee, q_full)
+        err_pos = jnp.linalg.norm(RT_flat[:, :3, 3] - T_ee[:, :3, 3], axis=-1)
+        err_rot = qangle_deg(
+            r2quat(RT_flat[:, :3, :3]), r2quat(T_ee[:, :3, :3])
+        )
+        err_pos = err_pos.reshape(batch, goal_capacity)
+        err_rot = err_rot.reshape(batch, goal_capacity)
+        found = (err_pos < 0.01) & (err_rot < 5.0)
+        # ranked warm start: best IK solution per object -> interpolated seed
+        err = err_pos + 2e-3 * err_rot
+        best = jnp.argmin(err, axis=1)
+        q_best = q_full.reshape(batch, goal_capacity, -1)[
+            jnp.arange(batch), best
+        ]
+        X0 = jax.vmap(
+            lambda qb: interpolate_waypoints_jnp(qc_j, qb, planner.T - 2)
+        )(q_best)[..., jnp.asarray(opt_idx)]
+        return X0, found, err_pos, err_rot
+
+    # -- phase 3: goal-set plan over per-problem stacked fields ---------------
+    @jax.jit
+    def phase_plan(X0, tables, base, goal_mask):
+        params = {
+            "q_param": q_param,
+            "tf_goal": tf_goal,
+            "goal_mask": goal_mask,
+            "base_position": jnp.zeros((batch, 3), jnp.float32),
+            "field_base": base,
+        }
+        return solvers.solve_batch_stacked(
+            qc_opt, X0, params, {"packed_fields": tables}
+        )
+
+    keys = jax.random.split(jax.random.PRNGKey(0), batch * goal_capacity)
+    tf_world_j = jnp.asarray(tf_goal_world)
+
+    def run_once():
+        t0 = time.time()
+        tables, base, keep = phase_fields(depth_b, mask_b, pose_b, tf_world_j)
+        keep.block_until_ready()
+        t1 = time.time()
+        X0, found, err_pos, err_rot = phase_ik(tf_goal, keys)
+        X0.block_until_ready()
+        t2 = time.time()
+        # goal slots must survive BOTH the collision pre-filter and the IK
+        # screen (pipeline parity); objects with no survivor keep all slots
+        # (the pipeline would report a failure stage — the bench still plans)
+        gm = keep & found
+        gm = jnp.where(gm.any(axis=1, keepdims=True), gm, True)
+        Q, cost, _ = phase_plan(X0, tables, base, gm)
+        Q.block_until_ready()
+        t3 = time.time()
+        return (t1 - t0, t2 - t1, t3 - t2), (Q, gm, keep, found)
+
+    t0 = time.time()
+    _, out = run_once()  # compile + warmup
+    compile_s = time.time() - t0
+    best = None
+    for _ in range(reps):
+        ts, out = run_once()
+        if best is None or sum(ts) < sum(best):
+            best = ts
+    t_fields, t_ik, t_plan = best
+    total = t_fields + t_ik + t_plan
+    objects_per_s = batch / total
+
+    # -- gates (untimed): reach + exact-cloud replay collision ---------------
+    Q, gm, keep, found = out
+    q_param_T = jnp.broadcast_to(
+        q_param[:, None, :], (batch, planner.T, q_param.shape[1])
+    )
+    Q_full = jax.jit(jax.vmap(jax.vmap(robot.assemble_q)))(Q, q_param_T)
+    T_end = robot.get_global_link_transform(link_ee, Q_full[:, -1])
+    d = np.linalg.norm(
+        np.asarray(tf_goal)[:, :, :3, 3] - np.asarray(T_end)[:, None, :3, 3],
+        axis=-1,
+    )
+    rot = np.asarray(
+        qangle_deg(
+            r2quat(tf_goal[..., :3, :3]),
+            jnp.broadcast_to(
+                r2quat(T_end[:, None, :3, :3]), (batch, goal_capacity, 4)
+            ),
+        )
+    )
+    gm_np = np.asarray(gm)
+    reached = ((d < 0.01) & (rot < 5.0) & gm_np).any(axis=1)
+    pts_b = np.asarray(
+        jax.jit(robot.fk_surface_points)(
+            Q_full, base_position=jnp.asarray(base_position)
+        )
+    )  # (B, T, P, 3)
+    collisions = []
+    for b in range(batch):
+        d_obs = np.array(depths[b], copy=True)
+        d_obs[masks[b]] = depth_threshold
+        dpc_obs = DepthPointCloud(
+            d_obs, K, poses[b], masks[b], threshold=depth_threshold
+        )
+        sdf = np.asarray(
+            dpc_obs.get_sdf(jnp.asarray(pts_b[b].reshape(-1, 3)), host=False)
+        ).reshape(planner.T, -1)
+        inside = sdf < 0
+        counts = (inside & ~inside[0]).sum(axis=1)
+        collisions.append(bool((counts > 5).any()))
+
+    return {
+        "objects_per_s": round(objects_per_s, 2),
+        "sec_per_object": round(total / batch, 4),
+        "vs_ref_sec_per_object": REF_TOTAL_S,
+        "speedup": round(REF_TOTAL_S * objects_per_s, 1),
+        "phase_ms_per_object": {
+            "fields": round(1e3 * t_fields / batch, 2),
+            "ik": round(1e3 * t_ik / batch, 2),
+            "plan": round(1e3 * t_plan / batch, 2),
+        },
+        "ref_phase_s_per_object": {
+            "fields": REF_CHECK_S, "ik": REF_IK_S, "plan": REF_PLAN_S,
+        },
+        "batch": batch,
+        "goal_capacity": goal_capacity,
+        "iterations": [iterations, coarse_iterations],
+        "depth_res": [height, width],
+        "field_size": int(robot.field_size),
+        "compile_s": round(compile_s, 1),
+        "gates": {
+            "reached_frac": round(float(np.mean(reached)), 3),
+            "collision_frac": round(float(np.mean(collisions)), 3),
+            "mean_grasps_kept": round(float(np.asarray(keep).mean(axis=1).mean()), 3),
+            "mean_ik_found": round(float(np.asarray(found).mean(axis=1).mean()), 3),
+        },
+    }
+
+
+if __name__ == "__main__":
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+    print(json.dumps({"e2e": run_e2e()}))
