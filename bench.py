@@ -247,6 +247,10 @@ def main():
         os.environ.get("BENCH_COARSE", str(min(3, iterations // 2)))
     )
     coarse_stride = int(os.environ.get("BENCH_COARSE_STRIDE", "2"))
+    # BENCH_TRUST=1: return the budget's final KKT trial point unevaluated
+    # (skips the post-scan residual pass — one full field-gather pass per
+    # solve). Opt-in until closed-loop validated (TrajectoryConfig.final_trust).
+    final_trust = os.environ.get("BENCH_TRUST", "0") == "1"
     if not single_pass or obstacle_mode != "field":
         # the coarse phase is defined for the single-pass LM field path
         # only; the classic two-pass and points-mode configs run the plain
@@ -258,6 +262,7 @@ def main():
         single_pass=single_pass, cyclic_reduction=cyclic_reduction,
         goal_weight=goal_weight, T=horizon,
         coarse_iterations=coarse_iterations, coarse_stride=coarse_stride,
+        final_trust=final_trust,
     )
     solvers = planner.setup_optimization(
         goal_size=goal_capacity, use_standoff=True, axis_standoff=axis_standoff
@@ -538,6 +543,7 @@ def main():
                     "goal_capacity": goal_capacity,
                     "iterations": iterations,
                     "coarse": [coarse_iterations, coarse_stride] if coarse_iterations else None,
+                    "final_trust": final_trust,
                     "standoff": standoff_distance,
                     "surface_points": robot.num_surface_points,
                     "field_size": robot.field_size,

@@ -238,7 +238,11 @@ def run_e2e():
             "q_param": q_param,
             "tf_goal": tf_goal,
             "goal_mask": goal_mask,
-            "base_position": jnp.zeros((batch, 3), jnp.float32),
+            # goals are base-frame; the WORLD-frame field lookups shift FK
+            # points by the robot's base position (plan_goalset parity)
+            "base_position": jnp.broadcast_to(
+                jnp.asarray(base_position), (batch, 3)
+            ),
             "field_base": base,
         }
         return solvers.solve_batch_stacked(
@@ -299,6 +303,10 @@ def run_e2e():
     )
     gm_np = np.asarray(gm)
     reached = ((d < 0.01) & (rot < 5.0) & gm_np).any(axis=1)
+    # best-goal errors (bench-main convention) for magnitude diagnostics
+    best_goal = np.argmin(np.where(gm_np, d + rot * 2e-3, np.inf), axis=1)
+    err_pos_best = d[np.arange(batch), best_goal]
+    err_rot_best = rot[np.arange(batch), best_goal]
     pts_b = np.asarray(
         jax.jit(robot.fk_surface_points)(
             Q_full, base_position=jnp.asarray(base_position)
@@ -340,6 +348,8 @@ def run_e2e():
         "gates": {
             "reached_frac": round(float(np.mean(reached)), 3),
             "collision_frac": round(float(np.mean(collisions)), 3),
+            "err_pos_median": round(float(np.median(err_pos_best)), 4),
+            "err_rot_median_deg": round(float(np.median(err_rot_best)), 2),
             "mean_grasps_kept": round(float(np.asarray(keep).mean(axis=1).mean()), 3),
             "mean_ik_found": round(float(np.asarray(found).mean(axis=1).mean()), 3),
         },

@@ -85,11 +85,19 @@ def make_args():
                    help="coarse-fidelity obstacle iterations (requires --single_pass)")
     p.add_argument("--coarse_stride", type=int, default=2,
                    help="surface-point stride of the coarse phase")
+    p.add_argument("--final_trust", action="store_true",
+                   help="return the final KKT trial unevaluated (skips the "
+                        "post-scan residual pass; requires --single_pass)")
     p.add_argument("--resume", default=None,
                    help="path to a (partial) result JSON from an interrupted "
                         "run; completed objects are skipped and new results "
                         "are checkpointed into the SAME file. The solver "
                         "flavor flags must match the original run.")
+    p.add_argument("--device", default="cpu", choices=["cpu", "tpu"],
+                   help="tpu: run the pipeline's device programs on the real "
+                        "chip (f32, single-tenant — see CLAUDE.md) so quality "
+                        "is measured on the same jitted artifacts bench.py "
+                        "times; cpu (default): x64 host run")
     p.add_argument("--outdir", default="results")
     p.add_argument("--data_dir", default=None)
     p.add_argument("--grid_resolution", type=float, default=None,
@@ -101,7 +109,9 @@ def make_args():
     return p.parse_args()
 
 
-def build_models(robot_name: str, data_dir: str, grid_resolution: float = 0.05):
+def build_models(robot_name: str, data_dir: str, grid_resolution: float = 0.05,
+                 dtype=None):
+    dtype = dtype if dtype is not None else jnp.float64
     cfg = load_robot_config(robot_name, data_dir)
     urdf_rel = cfg["urdf_robot_path"].split("data/", 1)[-1]
     grip_rel = cfg["urdf_gripper_path"].split("data/", 1)[-1]
@@ -112,13 +122,13 @@ def build_models(robot_name: str, data_dir: str, grid_resolution: float = 0.05):
         param_joints=cfg["param_joints"],
         collision_link_names=cfg["collision_link_names"],
         grid_resolution=grid_resolution,
-        dtype=jnp.float64,
+        dtype=dtype,
     )
     robot.setup_workspace_field(arm_len=cfg["arm_len"], arm_height=cfg["arm_height"])
     gripper = GTORobotModel(
         model_dir=os.path.join(data_dir, "robots", cfg["robot_name"]),
         urdf_filename=os.path.join(data_dir, grip_rel),
-        dtype=jnp.float64,
+        dtype=dtype,
     )
     return robot, gripper, cfg
 
@@ -137,6 +147,7 @@ def evaluate_scenes(
     single_pass: bool = False,
     coarse_iterations: int = 0,
     coarse_stride: int = 2,
+    final_trust: bool = False,
     orderings=None,
     verbose: bool = True,
     field_epsilon: float = None,
@@ -181,6 +192,7 @@ def evaluate_scenes(
         planner_single_pass=single_pass,
         planner_coarse_iterations=coarse_iterations,
         planner_coarse_stride=coarse_stride,
+        planner_final_trust=final_trust,
         goal_weight=knobs.get("goal_weight", {}).get(cfg["robot_name"], 1.0),
         interpolate=knobs.get("interpolate", True),
         field_epsilon=field_epsilon,
@@ -291,8 +303,24 @@ def main():
         if args.grid_resolution is not None
         else knobs.get("grid_resolution", 0.05)
     )
+    dtype = jnp.float64
+    if args.device == "tpu":
+        # the chip has no f64; run the same f32 programs bench.py times,
+        # with the persistent compile cache (first compile is remote and
+        # slow on this tunnel — CLAUDE.md)
+        jax.config.update("jax_enable_x64", False)
+        try:
+            jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+        except Exception:
+            pass
+        dtype = jnp.float32
+        assert jax.devices()[0].platform != "cpu", (
+            "--device tpu but jax only sees CPU; launch without "
+            "JAX_PLATFORMS=cpu and keep the axon plugin enabled"
+        )
     robot, gripper, cfg = build_models(
-        args.robot, data_dir, grid_resolution=grid_resolution
+        args.robot, data_dir, grid_resolution=grid_resolution, dtype=dtype
     )
     scene_ids = [int(s) for s in args.scene_ids.split(",")]
 
@@ -323,7 +351,7 @@ def main():
         n_objects=args.n_objects, width=args.width, height=args.height,
         goal_capacity=args.goal_capacity, iterations=args.iterations,
         single_pass=args.single_pass, coarse_iterations=args.coarse,
-        coarse_stride=args.coarse_stride,
+        coarse_stride=args.coarse_stride, final_trust=args.final_trust,
         field_epsilon=args.field_epsilon, views=args.views,
         checkpoint_path=out,
         prior=prior,

@@ -78,6 +78,14 @@ class TrajectoryConfig(NamedTuple):
     # residual pass evaluates it), so `iterations` buys a full `iterations`
     # evaluated LM trials on this path.
     single_pass: bool = False
+    # final_trust=True (single_pass only) skips the post-scan residual
+    # pass entirely: the budget's final KKT solve produced X_try from the
+    # best accepted point with the adapted damping, and the solver RETURNS
+    # it unevaluated (reported cost is the last accepted point's — stale
+    # by half an iteration). Saves one full field-gather pass (~20% at a
+    # 4-iteration budget) at the price of trusting one un-tested step;
+    # gate any default change on its own closed-loop validation.
+    final_trust: bool = False
     # cyclic_reduction=True solves the block-tridiagonal system with
     # parallel-in-time cyclic reduction (ops.block_tridiag_solve_cr):
     # ceil(log2 T) levels of batched block ops instead of a 2T-step scan of
@@ -357,6 +365,12 @@ def make_trajectory_solver(
             (X_try, X_acc, _, _, c_acc, lam, step_aux), _ = jax.lax.scan(
                 iteration_single, init, None, length=config.iterations - k_coarse
             )
+            if config.final_trust:
+                # return the final trial point unevaluated (see
+                # TrajectoryConfig.final_trust); cost is the last accepted
+                # point's — callers comparing costs must not mix flavors
+                Q = assemble(X_try, qc_opt)
+                return Q, c_acc, {"lambda": lam, "step_aux": step_aux}
             # One post-scan residual pass: the budget's final KKT solve
             # produced X_try, which the scan would otherwise discard
             # unevaluated — keep it when it improves. Fresh aux at X_try

@@ -78,6 +78,7 @@ class GTOPlanner:
         Tmax: float = 10.0,
         coarse_iterations: int = 0,
         coarse_stride: int = 2,
+        final_trust: bool = False,
     ):
         # T/Tmax: trajectory horizon (reference fixes T=50 over 10 s,
         # gto_planner.py:25-28). The horizon is an array axis here, so long
@@ -123,6 +124,12 @@ class GTOPlanner:
         # at reference fidelity (requires single_pass; field mode only).
         self.coarse_iterations = int(coarse_iterations)
         self.coarse_stride = int(coarse_stride)
+        # final_trust: skip the post-scan evaluation of the budget's final
+        # KKT trial point and return it unevaluated — saves one full
+        # field-gather pass per solve (opt/trajectory.py
+        # TrajectoryConfig.final_trust; single_pass only; default change
+        # gated on closed-loop validation)
+        self.final_trust = bool(final_trust)
         # trial-step scales per LM iteration; each candidate costs a full
         # residual pass (None = TrajectoryConfig default)
         self.lm_alphas = lm_alphas
@@ -409,6 +416,7 @@ class GTOPlanner:
             iterations=self.iterations,
             single_pass=self.single_pass,
             cyclic_reduction=self.cyclic_reduction,
+            final_trust=self.final_trust and self.single_pass,
             **cfg_kwargs,
         )
         traj_term = None

@@ -79,6 +79,7 @@ class GraspPipeline:
         planner_single_pass: bool = False,
         planner_coarse_iterations: int = 0,
         planner_coarse_stride: int = 2,
+        planner_final_trust: bool = False,
         ik_iterations: int = 50,
         rescue: bool = True,
         rescue_pos_tol: float = 0.02,
@@ -173,6 +174,7 @@ class GraspPipeline:
             single_pass=planner_single_pass,
             coarse_iterations=planner_coarse_iterations,
             coarse_stride=planner_coarse_stride,
+            final_trust=planner_final_trust,
         )
         self._planner_exact: Optional[GTOPlanner] = None
         self.ik_solver = IKSolver(

@@ -353,6 +353,46 @@ class TestFieldTermEquivalence:
         in_slab = (world[..., 2] < 0.10 - 1e-3) & (world[..., 0] > 0.30 + 1e-3)
         assert in_slab.mean() < 1e-3, f"slab penetration fraction {in_slab.mean()}"
 
+    def test_final_trust_preserves_quality(self, panda):
+        """final_trust=True returns the budget's final KKT trial point
+        UNEVALUATED (no post-scan residual pass). The returned plan must
+        still reach the goal and stay out of the slab obstacle."""
+        robot, cfg = panda
+        qc = PANDA_DEFAULT.copy()
+        pts = robot.grid.grid_points().astype(np.float64)
+        d = np.maximum(pts[:, 2] - 0.10, 0.30 - pts[:, 0])
+        eps = 0.02
+        cost = np.zeros(len(pts))
+        cost[d <= 0] = -d[d <= 0] + eps / 2
+        band = (d > 0) & (d < eps)
+        cost[band] = np.square(d[band] - eps) / (2 * eps)
+        field = cost.astype(np.float64)
+
+        ik = IKSolver(robot, cfg["link_ee"], cfg["link_gripper"])
+        ik.setup_optimization()
+        q_sol, *_ = ik.solve_ik(qc, PANDA_RT, np.zeros_like(field), [0, 0, 0], verbose=False)
+
+        planner = GTOPlanner(
+            robot, cfg["link_ee"], cfg["link_gripper"],
+            iterations=4, single_pass=True,
+            coarse_iterations=2, coarse_stride=2,
+            final_trust=True,
+        )
+        Q, dQ, c = planner.plan_goalset(
+            qc, PANDA_RT[None], field, field, [0, 0, 0],
+            q_solutions=q_sol.reshape(-1, 1),
+            use_standoff=True, axis_standoff=cfg["axis_standoff"],
+        )
+        Q = np.asarray(Q)
+        T_end = np.asarray(
+            robot.get_global_link_transform(cfg["link_gripper"], jnp.asarray(Q[:, -1]))
+        )
+        err = np.linalg.norm(T_end[:3, 3] - PANDA_RT[:3, 3])
+        assert err < 0.02, f"final-trust final gripper position error {err}"
+        world = np.asarray(robot.fk_surface_points(jnp.asarray(Q.T)))  # (T,P,3)
+        in_slab = (world[..., 2] < 0.10 - 1e-3) & (world[..., 0] > 0.30 + 1e-3)
+        assert in_slab.mean() < 1e-3, f"slab penetration fraction {in_slab.mean()}"
+
 
 class TestFetchPlanner:
     """End-to-end IK + trajectory planning on Fetch: 15 DoF with 8
