@@ -186,21 +186,39 @@ def run_e2e():
         gp = transform_points(RT_grasps_world @ RT_filter_off, gpts_local)
         sdf_g = dpc_obs.get_sdf(gp.reshape(-1, 3)).reshape(gp.shape[:2])
         keep = (sdf_g < 0).mean(axis=1) <= 0.01
-        return packed, keep
+        return packed, keep, f_obs
 
     @jax.jit
     def phase_fields(depth_b, mask_b, pose_b, tf_world_b):
-        packed_b, keep_b = jax.vmap(fields_one)(
+        packed_b, keep_b, f_obs_b = jax.vmap(fields_one)(
             depth_b, mask_b, pose_b, tf_world_b
         )
         S2 = packed_b.shape[1]
         tables = packed_b.reshape(batch * S2, 8)
         base = jnp.arange(batch, dtype=jnp.int32) * S2
-        return tables, base, keep_b
+        return tables, base, keep_b, f_obs_b
 
-    # -- phase 2: multistart IK screen + warm-start construction --------------
+    # -- phase 2: multistart IK screen + ranked warm-start construction -------
+    base_j = jnp.asarray(base_position)
+
+    def rank_seeds_one(q_sols, found_o, f_obs):
+        """Pipeline-parity warm-start ranking (_rank_warm_starts semantics):
+        interpolate EVERY found IK candidate into a seed trajectory and pick
+        lexicographically by (obstacle cost of the replayed seed, travel)."""
+        seeds = jax.vmap(
+            lambda q_sol: interpolate_waypoints_jnp(qc_j, q_sol, planner.T)
+        )(q_sols)  # (cap, T, ndof)
+        pts = robot.fk_surface_points(seeds, base_position=base_j)
+        vals = grid.lookup_nearest(f_obs, pts)
+        costs = jnp.sum(vals, axis=(1, 2))
+        costs = jnp.where(found_o, costs, jnp.inf)
+        dists = jnp.linalg.norm(seeds[:, 0] - seeds[:, -1], axis=-1)
+        min_cost = jnp.min(costs)
+        best = jnp.argmin(jnp.where(costs == min_cost, dists, jnp.inf))
+        return seeds[best]  # (T, ndof)
+
     @jax.jit
-    def phase_ik(tf_goal_b, keys):
+    def phase_ik(tf_goal_b, keys, f_obs_b):
         N = batch * goal_capacity
         RT_flat = tf_goal_b.reshape(N, 4, 4)
         params = {
@@ -220,15 +238,10 @@ def run_e2e():
         err_pos = err_pos.reshape(batch, goal_capacity)
         err_rot = err_rot.reshape(batch, goal_capacity)
         found = (err_pos < 0.01) & (err_rot < 5.0)
-        # ranked warm start: best IK solution per object -> interpolated seed
-        err = err_pos + 2e-3 * err_rot
-        best = jnp.argmin(err, axis=1)
-        q_best = q_full.reshape(batch, goal_capacity, -1)[
-            jnp.arange(batch), best
-        ]
-        X0 = jax.vmap(
-            lambda qb: interpolate_waypoints_jnp(qc_j, qb, planner.T - 2)
-        )(q_best)[..., jnp.asarray(opt_idx)]
+        Q0 = jax.vmap(rank_seeds_one)(
+            q_full.reshape(batch, goal_capacity, -1), found, f_obs_b
+        )  # (B, T, ndof)
+        X0 = Q0[:, 2:, :][..., jnp.asarray(opt_idx)]
         return X0, found, err_pos, err_rot
 
     # -- phase 3: goal-set plan over per-problem stacked fields ---------------
@@ -254,10 +267,12 @@ def run_e2e():
 
     def run_once():
         t0 = time.time()
-        tables, base, keep = phase_fields(depth_b, mask_b, pose_b, tf_world_j)
+        tables, base, keep, f_obs_b = phase_fields(
+            depth_b, mask_b, pose_b, tf_world_j
+        )
         keep.block_until_ready()
         t1 = time.time()
-        X0, found, err_pos, err_rot = phase_ik(tf_goal, keys)
+        X0, found, err_pos, err_rot = phase_ik(tf_goal, keys, f_obs_b)
         X0.block_until_ready()
         t2 = time.time()
         # goal slots must survive BOTH the collision pre-filter and the IK

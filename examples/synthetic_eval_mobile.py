@@ -59,6 +59,12 @@ def make_args():
     p.add_argument("--height", type=int, default=160)
     p.add_argument("--goal_capacity", type=int, default=32)
     p.add_argument("--iterations", type=int, default=50)
+    p.add_argument("--single_pass", action="store_true",
+                   help="delayed-gratification LM (the bench default flavor)")
+    p.add_argument("--coarse", type=int, default=0,
+                   help="coarse-fidelity obstacle iterations (requires --single_pass)")
+    p.add_argument("--coarse_stride", type=int, default=2,
+                   help="surface-point stride of the coarse phase")
     p.add_argument("--start_pose", default="-0.8,0.3,-0.3", help="x,y,yaw parked base")
     p.add_argument("--outdir", default="results")
     p.add_argument("--data_dir", default=None)
@@ -147,6 +153,9 @@ def main():
         standoff_distance=knobs["standoff_distance"],
         goal_capacity=args.goal_capacity, grid=robot.grid,
         ik_capacity=args.goal_capacity, planner_iterations=args.iterations,
+        planner_single_pass=args.single_pass,
+        planner_coarse_iterations=args.coarse,
+        planner_coarse_stride=args.coarse_stride,
         goal_weight=knobs.get("goal_weight", {}).get(args.robot, 1.0),
         interpolate=knobs.get("interpolate", True),
     )
