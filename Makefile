@@ -9,9 +9,12 @@ CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
 .PHONY: test test-fast bench eval eval-shelf
 
+# full suite (nightly): ~60 min on 4 cores (223 tests)
 test:
 	$(CPU_ENV) python -m pytest tests/ -q
 
+# iteration suite: <10 min — planner/pipeline/batching integration tests
+# over ~40 s are marked `slow` (split measured round 5, logs in docs)
 test-fast:
 	$(CPU_ENV) python -m pytest tests/ -q -x -m "not slow"
 

@@ -47,6 +47,7 @@ def make_batch(robot, planner, B):
     return jnp.asarray(qc_opt), jnp.asarray(X0), per, shared
 
 
+@pytest.mark.slow
 class TestSharedSceneEquivalence:
     def test_shared_equals_broadcast(self, setup):
         robot, planner, solve_one, solve_batch, solve_batch_shared = setup

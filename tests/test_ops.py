@@ -247,6 +247,7 @@ class TestBlockTridiag:
             want = block_tridiag_solve(diag[b], lower[b], rhs[b])
             np.testing.assert_allclose(np.asarray(xb[b]), np.asarray(want), atol=1e-9)
 
+    @pytest.mark.slow
     def test_cyclic_reduction_matches_scan(self):
         """Parallel-in-time cyclic reduction == block-Thomas at every size
         class: below/at/above the power-of-two padding, T=1, and the

@@ -206,6 +206,7 @@ class TestStreaming:
             list(stream_map(lambda x: x, [1], inflight=0))
 
 
+@pytest.mark.slow
 class TestGraftEntry:
     def test_entry_compiles_and_runs(self):
         import sys

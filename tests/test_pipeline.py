@@ -55,6 +55,7 @@ def make_fence_field(robot, hole_center=None, hole_radius=0.12):
 
 
 class TestObstacleAvoidance:
+    @pytest.mark.slow
     def test_plan_avoids_fence(self, panda):
         """The optimized plan must sweep over/around a fence between the
         start pose and the grasp, unlike the straight interpolated seed."""
@@ -150,6 +151,7 @@ class TestPointsObstacleMode:
         assert float(dirs[0, 2]) > 0.9
         assert float(dirs[1, 0]) < -0.5
 
+    @pytest.mark.slow
     def test_plan_avoids_fence_points_mode(self, panda):
         """Same fence scenario as field mode, but with the gather-free
         direct-distance obstacle term."""
@@ -223,6 +225,7 @@ class TestPointsObstacleMode:
 
 
 class TestGraspPipeline:
+    @pytest.mark.slow
     def test_full_pipeline_synthetic_camera(self, panda, data_dir):
         """Smoke the whole pipeline with a synthetic overhead depth camera:
         a flat floor plane plus grasp candidates around the fixed grasp."""
@@ -285,6 +288,7 @@ class TestGraspPipeline:
         assert pipeline.planner.coarse_iterations == 2
         assert pipeline.planner.coarse_stride == 4
 
+    @pytest.mark.slow
     def test_rescue_branch_recovers_bad_goalset_plan(self, panda, data_dir):
         """Drive plan_object's rescue path end-to-end: force the goal-set
         solve to return a useless constant plan and assert the batched
@@ -333,6 +337,7 @@ class TestGraspPipeline:
             result.dQ, pipeline.planner.dq_of(result.plan), atol=1e-12
         )
 
+    @pytest.mark.slow
     def test_escalation_branch_fixes_replay_collision(self, panda, data_dir):
         """The exact-geometry escalation tier: force BOTH the goal-set solve
         and the field-mode per-goal rescue to return a plan that collides
@@ -420,6 +425,7 @@ class TestGraspPipeline:
         assert not s["collision"], f"escalated plan still collides: {s}"
         assert s["reached"], f"escalated plan misses the goal: {s}"
 
+    @pytest.mark.slow
     def test_pergoal_rescue_batch(self, panda):
         """The rescue path: every per-goal solve must reach ITS OWN goal
         (one-hot masks on the shared goal-set program, per-candidate warm

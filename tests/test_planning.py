@@ -133,6 +133,7 @@ class TestIKSolver:
 
 
 class TestGTOPlanner:
+    @pytest.mark.slow
     def test_reference_main_scenario(self, panda):
         """gto_planner.py __main__: IK then plan with standoff, no obstacles.
         The plan must start at qc (two pinned steps), respect limits, and
@@ -177,6 +178,7 @@ class TestGTOPlanner:
         err_stand = np.linalg.norm(T_stand[:3, 3] - (PANDA_RT[:3, 3] + offset_world))
         assert err_stand < 0.03, f"standoff position error {err_stand}"
 
+    @pytest.mark.slow
     def test_goalset_picks_reachable_goal(self, panda):
         robot, cfg = panda
         ik = IKSolver(robot, cfg["link_ee"], cfg["link_gripper"])
@@ -202,6 +204,7 @@ class TestGTOPlanner:
         err = np.linalg.norm(T_end[:3, 3] - PANDA_RT[:3, 3])
         assert err < 0.02, f"picked wrong goal? err={err}"
 
+    @pytest.mark.slow
     def test_long_horizon_T100_cyclic_reduction(self, panda):
         """The horizon is a parameter, not a rebuild: T=100 over 10 s with
         the parallel-in-time cyclic-reduction KKT solve reaches the goal
@@ -230,6 +233,7 @@ class TestGTOPlanner:
         err_end = np.linalg.norm(T_end[:3, 3] - PANDA_RT[:3, 3])
         assert err_end < 0.02, f"T=100 final gripper position error {err_end}"
 
+    @pytest.mark.slow
     def test_goal_weight_tightens_deep_standoff(self, panda):
         """goal_weight > 1 must shift the deep-standoff (-0.2) equilibrium:
         the terminal rotation error at goal_weight=4 comes out below the
@@ -270,6 +274,7 @@ class TestGTOPlanner:
 
 
 class TestFieldTermEquivalence:
+    @pytest.mark.slow
     def test_traj_term_matches_step_residual_path(self, panda):
         """The whole-trajectory field term (closed-form gradients through
         packed_rows_gather) must reproduce the per-step jacfwd path on a
@@ -309,6 +314,7 @@ class TestFieldTermEquivalence:
         np.testing.assert_allclose(c_term, c_step, rtol=1e-6, atol=1e-9)
         np.testing.assert_allclose(Q_term, Q_step, atol=1e-5)
 
+    @pytest.mark.slow
     def test_coarse_phase_preserves_quality(self, panda):
         """Multigrid-in-fidelity schedule (coarse_iterations > 0: early LM
         iterations evaluate the obstacle term on a strided point subset)
@@ -353,6 +359,7 @@ class TestFieldTermEquivalence:
         in_slab = (world[..., 2] < 0.10 - 1e-3) & (world[..., 0] > 0.30 + 1e-3)
         assert in_slab.mean() < 1e-3, f"slab penetration fraction {in_slab.mean()}"
 
+    @pytest.mark.slow
     def test_final_trust_preserves_quality(self, panda):
         """final_trust=True returns the budget's final KKT trial point
         UNEVALUATED (no post-scan residual pass). The returned plan must
@@ -408,6 +415,7 @@ class TestFetchPlanner:
         ]
     )
 
+    @pytest.mark.slow
     def test_fetch_ik_and_plan(self, data_dir):
         from grasptrajopt_tpu.planning.utils import default_pose
 
