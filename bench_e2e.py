@@ -147,6 +147,18 @@ def run_e2e():
     )
     ik = IKSolver(robot, link_ee, link_gripper, collision_avoidance=False)
     ik.setup_optimization(grid)
+    # rescue tier capacity: the K worst-reaching objects get their FULL
+    # goal set re-solved as independent single-goal problems in one batch
+    # (the pipeline's batched per-goal rescue, planning/pipeline.py:327-377,
+    # with a static budget instead of the host's data-dependent trigger)
+    rescue_k = int(os.environ.get("BENCH_E2E_RESCUE", "2"))
+    solvers1 = (
+        planner.setup_optimization(
+            goal_size=1, use_standoff=True, axis_standoff=axis_standoff
+        )
+        if rescue_k
+        else None
+    )
 
     opt_idx = robot.optimized_joint_indexes
     par_idx = robot.parameter_joint_indexes
@@ -238,11 +250,10 @@ def run_e2e():
         err_pos = err_pos.reshape(batch, goal_capacity)
         err_rot = err_rot.reshape(batch, goal_capacity)
         found = (err_pos < 0.01) & (err_rot < 5.0)
-        Q0 = jax.vmap(rank_seeds_one)(
-            q_full.reshape(batch, goal_capacity, -1), found, f_obs_b
-        )  # (B, T, ndof)
+        q_sols = q_full.reshape(batch, goal_capacity, -1)
+        Q0 = jax.vmap(rank_seeds_one)(q_sols, found, f_obs_b)  # (B, T, ndof)
         X0 = Q0[:, 2:, :][..., jnp.asarray(opt_idx)]
-        return X0, found, err_pos, err_rot
+        return X0, found, err_pos, err_rot, q_sols
 
     # -- phase 3: goal-set plan over per-problem stacked fields ---------------
     @jax.jit
@@ -262,6 +273,74 @@ def run_e2e():
             qc_opt, X0, params, {"packed_fields": tables}
         )
 
+    # -- phase 4: bounded batched per-goal rescue -----------------------------
+    def _reach_err(Q, tf_goal_b, gm):
+        """Per-object best gated reach error of a goal-set plan batch."""
+        q_param_T = jnp.broadcast_to(
+            q_param[:, None, :], (batch, planner.T, q_param.shape[1])
+        )
+        Q_full = jax.vmap(jax.vmap(robot.assemble_q))(Q, q_param_T)
+        T_end = robot.get_global_link_transform(link_ee, Q_full[:, -1])
+        d = jnp.linalg.norm(
+            tf_goal_b[..., :3, 3] - T_end[:, None, :3, 3], axis=-1
+        )
+        rot = qangle_deg(
+            r2quat(tf_goal_b[..., :3, :3]),
+            jnp.broadcast_to(
+                r2quat(T_end[:, None, :3, :3]), (batch, goal_capacity, 4)
+            ),
+        )
+        return jnp.min(jnp.where(gm, d + 2e-3 * rot, jnp.inf), axis=1)
+
+    @jax.jit
+    def phase_rescue(Q, tables, base, gm, q_sols):
+        """Re-solve the K worst-reaching objects' ENTIRE goal sets as
+        independent single-goal problems in one vmapped batch and keep the
+        best per-goal plan when it beats the goal-set plan (pipeline
+        rescue parity with a static object budget; selection is by gated
+        reach error — the post-hoc gates still check collisions)."""
+        err0 = _reach_err(Q, tf_goal, gm)  # (B,)
+        worst = jnp.argsort(-err0)[:rescue_k]  # (K,)
+        K, cap = rescue_k, goal_capacity
+        tfk = tf_goal[worst].reshape(K * cap, 1, 4, 4)
+        q_sols_k = q_sols[worst].reshape(K * cap, -1)
+        X0k = jax.vmap(
+            lambda q_sol: interpolate_waypoints_jnp(qc_j, q_sol, planner.T)
+        )(q_sols_k)[:, 2:, :][..., jnp.asarray(opt_idx)]
+        q_param_k = jnp.repeat(q_param[worst], cap, axis=0)
+        params = {
+            "q_param": q_param_k,
+            "tf_goal": tfk,
+            "goal_mask": jnp.ones((K * cap, 1), bool),
+            "base_position": jnp.broadcast_to(
+                jnp.asarray(base_position), (K * cap, 3)
+            ),
+            "field_base": jnp.repeat(base[worst], cap),
+        }
+        qc_opt_k = jnp.repeat(qc_opt[worst], cap, axis=0)
+        Qr, _, _ = solvers1.solve_batch_stacked(
+            qc_opt_k, X0k, params, {"packed_fields": tables}
+        )  # (K*cap, T, n_opt)
+        # score each per-goal plan against ITS OWN goal
+        q_param_T = jnp.broadcast_to(
+            q_param_k[:, None, :], (K * cap, planner.T, q_param.shape[1])
+        )
+        Qr_full = jax.vmap(jax.vmap(robot.assemble_q))(Qr, q_param_T)
+        T_endr = robot.get_global_link_transform(link_ee, Qr_full[:, -1])
+        dr = jnp.linalg.norm(tfk[:, 0, :3, 3] - T_endr[:, :3, 3], axis=-1)
+        rotr = qangle_deg(r2quat(tfk[:, 0, :3, :3]), r2quat(T_endr[:, :3, :3]))
+        errr = jnp.where(
+            gm[worst].reshape(K * cap), dr + 2e-3 * rotr, jnp.inf
+        ).reshape(K, cap)
+        bestg = jnp.argmin(errr, axis=1)  # (K,)
+        err_new = errr[jnp.arange(K), bestg]
+        better = err_new < err0[worst]
+        Q_repl = Qr.reshape(K, cap, planner.T, -1)[jnp.arange(K), bestg]
+        Q_new = Q.at[worst].set(
+            jnp.where(better[:, None, None], Q_repl, Q[worst])
+        )
+        return Q_new, worst, better
+
     keys = jax.random.split(jax.random.PRNGKey(0), batch * goal_capacity)
     tf_world_j = jnp.asarray(tf_goal_world)
 
@@ -272,7 +351,7 @@ def run_e2e():
         )
         keep.block_until_ready()
         t1 = time.time()
-        X0, found, err_pos, err_rot = phase_ik(tf_goal, keys, f_obs_b)
+        X0, found, err_pos, err_rot, q_sols = phase_ik(tf_goal, keys, f_obs_b)
         X0.block_until_ready()
         t2 = time.time()
         # goal slots must survive BOTH the collision pre-filter and the IK
@@ -283,7 +362,13 @@ def run_e2e():
         Q, cost, _ = phase_plan(X0, tables, base, gm)
         Q.block_until_ready()
         t3 = time.time()
-        return (t1 - t0, t2 - t1, t3 - t2), (Q, gm, keep, found)
+        if rescue_k:
+            Q, worst, rescued = phase_rescue(Q, tables, base, gm, q_sols)
+            Q.block_until_ready()
+        else:
+            rescued = jnp.zeros((0,), bool)
+        t4 = time.time()
+        return (t1 - t0, t2 - t1, t3 - t2, t4 - t3), (Q, gm, keep, found, rescued)
 
     t0 = time.time()
     _, out = run_once()  # compile + warmup
@@ -293,12 +378,12 @@ def run_e2e():
         ts, out = run_once()
         if best is None or sum(ts) < sum(best):
             best = ts
-    t_fields, t_ik, t_plan = best
-    total = t_fields + t_ik + t_plan
+    t_fields, t_ik, t_plan, t_rescue = best
+    total = t_fields + t_ik + t_plan + t_rescue
     objects_per_s = batch / total
 
     # -- gates (untimed): reach + exact-cloud replay collision ---------------
-    Q, gm, keep, found = out
+    Q, gm, keep, found, rescued = out
     q_param_T = jnp.broadcast_to(
         q_param[:, None, :], (batch, planner.T, q_param.shape[1])
     )
@@ -355,6 +440,11 @@ def run_e2e():
             "fields": round(1e3 * t_fields / batch, 2),
             "ik": round(1e3 * t_ik / batch, 2),
             "plan": round(1e3 * t_plan / batch, 2),
+            "rescue": round(1e3 * t_rescue / batch, 2),
+        },
+        "rescue": {
+            "k": rescue_k,
+            "applied": int(np.asarray(rescued).sum()) if rescue_k else 0,
         },
         "ref_phase_s_per_object": {
             "fields": REF_CHECK_S, "ik": REF_IK_S, "plan": REF_PLAN_S,
