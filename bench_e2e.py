@@ -49,6 +49,20 @@ def run_e2e():
     goal_capacity = int(os.environ.get("BENCH_E2E_GOALS", "32"))
     reps = int(os.environ.get("BENCH_E2E_REPS", "3"))
     iterations = int(os.environ.get("BENCH_E2E_ITERS", "4"))
+    # IK screen budget: 24 LM iterations keeps the per-goal found rate
+    # within 0.02 of the 50-iteration reference-parity budget (0.844 vs
+    # 0.863 on the bench object set, tools/probe_ik_phase.py) at 55% of
+    # the cost; misses are exactly what the plan gate + rescue tier absorb
+    ik_iterations = int(os.environ.get("BENCH_E2E_IK_ITERS", "24"))
+    ik_seeds = int(os.environ.get("BENCH_E2E_SEEDS", "8"))
+    # warm-start ranking fidelity: score seed trajectories on every
+    # rank_t-th step x every rank_p-th surface point (SoA FK path). The
+    # full ranking is 24.4 ms/object — 70% of the IK phase — while (2,2)
+    # scores 6.5 ms with 15/16 identical seed picks (the one difference a
+    # near-tie, full-metric cost excess 4e-4); ranking is a heuristic
+    # seed CHOICE, the solver still optimizes the true objective.
+    rank_t = int(os.environ.get("BENCH_E2E_RANK_T", "2"))
+    rank_p = int(os.environ.get("BENCH_E2E_RANK_P", "2"))
     coarse_iterations = int(
         os.environ.get("BENCH_E2E_COARSE", str(min(3, iterations // 2)))
     )
@@ -145,7 +159,10 @@ def run_e2e():
     solvers = planner.setup_optimization(
         goal_size=goal_capacity, use_standoff=True, axis_standoff=axis_standoff
     )
-    ik = IKSolver(robot, link_ee, link_gripper, collision_avoidance=False)
+    ik = IKSolver(
+        robot, link_ee, link_gripper, collision_avoidance=False,
+        iterations=ik_iterations, num_seeds=ik_seeds,
+    )
     ik.setup_optimization(grid)
     # rescue tier capacity: the K worst-reaching objects get their FULL
     # goal set re-solved as independent single-goal problems in one batch
@@ -216,11 +233,16 @@ def run_e2e():
     def rank_seeds_one(q_sols, found_o, f_obs):
         """Pipeline-parity warm-start ranking (_rank_warm_starts semantics):
         interpolate EVERY found IK candidate into a seed trajectory and pick
-        lexicographically by (obstacle cost of the replayed seed, travel)."""
+        lexicographically by (obstacle cost of the replayed seed, travel).
+        The obstacle score runs on a (rank_t, rank_p)-strided subset of the
+        (T, P) replay points via the SoA FK path (see knob comment above)."""
         seeds = jax.vmap(
             lambda q_sol: interpolate_waypoints_jnp(qc_j, q_sol, planner.T)
         )(q_sols)  # (cap, T, ndof)
-        pts = robot.fk_surface_points(seeds, base_position=base_j)
+        sub = seeds[:, ::rank_t] if rank_t > 1 else seeds
+        comps = robot.fk_components(sub)
+        x, y, z = robot.surface_points_soa(comps, base_j, stride=rank_p)
+        pts = jnp.stack([x, y, z], axis=-1)
         vals = grid.lookup_nearest(f_obs, pts)
         costs = jnp.sum(vals, axis=(1, 2))
         costs = jnp.where(found_o, costs, jnp.inf)
@@ -452,6 +474,9 @@ def run_e2e():
         "batch": batch,
         "goal_capacity": goal_capacity,
         "iterations": [iterations, coarse_iterations],
+        "ik_iterations": ik_iterations,
+        "ik_seeds": ik_seeds,
+        "rank_stride": [rank_t, rank_p],
         "depth_res": [height, width],
         "field_size": int(robot.field_size),
         "compile_s": round(compile_s, 1),

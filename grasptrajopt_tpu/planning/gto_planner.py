@@ -79,6 +79,8 @@ class GTOPlanner:
         coarse_iterations: int = 0,
         coarse_stride: int = 2,
         final_trust: bool = False,
+        rank_t_stride: int = 1,
+        rank_p_stride: int = 1,
     ):
         # T/Tmax: trajectory horizon (reference fixes T=50 over 10 s,
         # gto_planner.py:25-28). The horizon is an array axis here, so long
@@ -130,6 +132,18 @@ class GTOPlanner:
         # TrajectoryConfig.final_trust; single_pass only; default change
         # gated on closed-loop validation)
         self.final_trust = bool(final_trust)
+        # rank_{t,p}_stride: warm-start RANKING fidelity — score each IK
+        # candidate's interpolated seed trajectory on every rank_t-th step
+        # x every rank_p-th surface point (SoA FK path) instead of the full
+        # (T, P) replay. The full ranking is the IK phase's dominant cost
+        # on TPU (24.4 of 34.7 ms/object, tools/probe_ik_phase.py); (2,2)
+        # keeps 15/16 identical seed picks with ~4e-4 full-metric cost
+        # excess on the near-tie. Ranking only picks the SEED — the solver
+        # still optimizes the true objective — so this is a fidelity knob
+        # of a heuristic, not of the solution. Field mode only; default 1
+        # (exact) for the closed-loop pipeline.
+        self.rank_t_stride = int(rank_t_stride)
+        self.rank_p_stride = int(rank_p_stride)
         # trial-step scales per LM iteration; each candidate costs a full
         # residual pass (None = TrajectoryConfig default)
         self.lm_alphas = lm_alphas
@@ -545,7 +559,24 @@ class GTOPlanner:
         dtype = robot.dtype
         seeds = self._seed_trajectories(qc, q_solutions)  # (k, T, ndof)
 
-        pts = robot.fk_surface_points(seeds, base_position=jnp.asarray(base_position, dtype))
+        # ranking fidelity strides (see __init__): field mode scores a
+        # (rank_t, rank_p)-strided subset of the (T, P) replay points
+        strided = (
+            self.obstacle_mode != "points"
+            and (self.rank_t_stride > 1 or self.rank_p_stride > 1)
+        )
+        if strided:
+            sub = seeds[:, :: self.rank_t_stride]
+            comps = robot.fk_components(sub)
+            x, y, z = robot.surface_points_soa(
+                comps, jnp.asarray(base_position, dtype),
+                stride=self.rank_p_stride,
+            )
+            pts = jnp.stack([x, y, z], axis=-1)
+        else:
+            pts = robot.fk_surface_points(
+                seeds, base_position=jnp.asarray(base_position, dtype)
+            )
         if self.obstacle_mode == "points":
             from grasptrajopt_tpu.fields.depth_point_cloud import sdf_cost_shaping
             from grasptrajopt_tpu.ops.nn import signed_distance_with_dir

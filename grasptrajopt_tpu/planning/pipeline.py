@@ -80,7 +80,10 @@ class GraspPipeline:
         planner_coarse_iterations: int = 0,
         planner_coarse_stride: int = 2,
         planner_final_trust: bool = False,
+        planner_rank_t_stride: int = 1,
+        planner_rank_p_stride: int = 1,
         ik_iterations: int = 50,
+        ik_num_seeds: int = 8,
         rescue: bool = True,
         rescue_pos_tol: float = 0.02,
         rescue_rot_tol_deg: float = 10.0,
@@ -175,11 +178,13 @@ class GraspPipeline:
             coarse_iterations=planner_coarse_iterations,
             coarse_stride=planner_coarse_stride,
             final_trust=planner_final_trust,
+            rank_t_stride=planner_rank_t_stride,
+            rank_p_stride=planner_rank_p_stride,
         )
         self._planner_exact: Optional[GTOPlanner] = None
         self.ik_solver = IKSolver(
             robot, link_ee, link_gripper, collision_avoidance=ik_collision_avoidance,
-            iterations=ik_iterations,
+            iterations=ik_iterations, num_seeds=ik_num_seeds,
         )
         self._gripper_pts_cache = None
 

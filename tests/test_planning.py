@@ -359,6 +359,56 @@ class TestFieldTermEquivalence:
         in_slab = (world[..., 2] < 0.10 - 1e-3) & (world[..., 0] > 0.30 + 1e-3)
         assert in_slab.mean() < 1e-3, f"slab penetration fraction {in_slab.mean()}"
 
+    def test_rank_stride_agrees_with_full(self, panda):
+        """The strided warm-start ranking (rank_t_stride / rank_p_stride —
+        obstacle score on a subset of the (T, P) replay points) must pick
+        the same seed as the full ranking when the candidates are clearly
+        separated: one IK candidate reaching clear of a slab obstacle, one
+        whose seed trajectory sweeps through it."""
+        robot, cfg = panda
+        qc = PANDA_DEFAULT.copy()
+        pts = robot.grid.grid_points().astype(np.float64)
+        d = np.maximum(pts[:, 2] - 0.10, 0.30 - pts[:, 0])
+        eps = 0.02
+        cost = np.zeros(len(pts))
+        cost[d <= 0] = -d[d <= 0] + eps / 2
+        band = (d > 0) & (d < eps)
+        cost[band] = np.square(d[band] - eps) / (2 * eps)
+        field = cost.astype(np.float64)
+
+        ik = IKSolver(robot, cfg["link_ee"], cfg["link_gripper"])
+        ik.setup_optimization()
+        q_good, *_ = ik.solve_ik(
+            qc, PANDA_RT, np.zeros_like(field), [0, 0, 0], verbose=False
+        )
+        RT_slab = PANDA_RT.copy()
+        RT_slab[:3, 3] = [0.55, 0.0, 0.05]  # inside the slab region
+        q_bad, *_ = ik.solve_ik(
+            qc, RT_slab, np.zeros_like(field), [0, 0, 0], verbose=False
+        )
+        q_solutions = np.stack([q_bad, q_good], axis=1)  # (ndof, 2)
+
+        def best_of(planner):
+            best, costs, _ = planner._rank_warm_starts(
+                qc, q_solutions, field, [0, 0, 0]
+            )
+            return np.asarray(best), np.asarray(costs)
+
+        kw = dict(iterations=4, single_pass=True)
+        best_full, costs_full = best_of(
+            GTOPlanner(robot, cfg["link_ee"], cfg["link_gripper"], **kw)
+        )
+        assert costs_full[1] < costs_full[0], "clear seed must outrank slab seed"
+        for ts, ps in [(2, 2), (4, 4)]:
+            best_s, costs_s = best_of(
+                GTOPlanner(
+                    robot, cfg["link_ee"], cfg["link_gripper"],
+                    rank_t_stride=ts, rank_p_stride=ps, **kw,
+                )
+            )
+            assert costs_s[1] < costs_s[0]
+            np.testing.assert_allclose(best_s, best_full)
+
     @pytest.mark.slow
     def test_final_trust_preserves_quality(self, panda):
         """final_trust=True returns the budget's final KKT trial point
