@@ -3,8 +3,9 @@
 Measures the flagship path — batched goal-set trajectory optimization
 (GTOPlanner core program: 50-step horizon, goal-set point matching with
 standoff, trilinear SDF obstacle cost over all body surface points, box
-limits, projected-LM iterations at a per-robot validated budget: panda 4,
-fetch 6, coarse-fidelity first half) — and reports throughput against the
+limits, projected-LM iterations at a per-robot validated budget: panda 3
+with final_trust, fetch 6, coarse-fidelity first half) — and reports
+throughput against the
 reference's CPU pipeline, PLUS plan-quality gates: the timed plans are
 checked for goal reach (final end-effector pose within the reference's IK
 acceptance gates, pybullet_gto_planning.py:262) and collision (> 5 body
@@ -110,15 +111,16 @@ def main():
     goal_capacity = int(os.environ.get("BENCH_GOALS", "8"))
     robot_name = os.environ.get("BENCH_ROBOT", "panda")
     # Per-robot LM iteration budget — the lowest validated green on the
-    # bench quality gates for THAT robot (docs/PERF.md round-3/4 sweeps):
-    #   panda: 4 (gates green in shared/per-problem/deep-standoff with
-    #     error stats identical to budget 6; closed-loop tabletop 50/50 at
-    #     4 + coarse 2+2 — same criteria that set the round-2/3 defaults)
+    # bench quality gates for THAT robot (docs/PERF.md round-3/4/5 sweeps):
+    #   panda: 3 (gates green with error stats identical to budgets 4-50;
+    #     closed-loop at exactly this flavor — 3 iters, coarse 2+1,
+    #     single-pass, final_trust — tabletop 50/50, shelf 23/25 with the
+    #     budget-independent thin-object failure set, results/synthetic_r4)
     #   fetch: 6 (at 4 the 15-DoF reach gate slips to 0.938 — two of 32
     #     plans miss the 5-degree rotation gate; 6 keeps reached 1.0)
     # The reference runs Ipopt with up to 100 interior-point iterations on
     # the same warm-start scheme.
-    default_iters = {"fetch": 6}.get(robot_name, 4)
+    default_iters = {"fetch": 6}.get(robot_name, 3)
     iterations = int(os.environ.get("BENCH_ITERS", str(default_iters)))
     points_per_link = int(os.environ.get("BENCH_PPL", "100"))
     reps = int(os.environ.get("BENCH_REPS", "2"))
@@ -243,19 +245,30 @@ def main():
     # BENCH_COARSE=0 restores the plain full-fidelity schedule. The
     # default is capped at 3: only splits up to 3+3 have been validated,
     # and a BENCH_ITERS=50 parity run should not silently become 25+25.
+    # Round-up division gives the VALIDATED splits at every per-robot
+    # default: 3 -> 2+1, 4 -> 2+2, 6 -> 3+3 (closed-loop sweeps in
+    # results/synthetic_r{3,4}).
     coarse_iterations = int(
-        os.environ.get("BENCH_COARSE", str(min(3, iterations // 2)))
+        os.environ.get("BENCH_COARSE", str(min(3, (iterations + 1) // 2)))
     )
     coarse_stride = int(os.environ.get("BENCH_COARSE_STRIDE", "2"))
     # BENCH_TRUST=1: return the budget's final KKT trial point unevaluated
     # (skips the post-scan residual pass — one full field-gather pass per
-    # solve). Opt-in until closed-loop validated (TrajectoryConfig.final_trust).
-    final_trust = os.environ.get("BENCH_TRUST", "0") == "1"
+    # solve; TrajectoryConfig.final_trust). Default ON for panda: the
+    # exact shipped flavor (3 iters, coarse 2+1, single-pass, trust) is
+    # closed-loop validated on both scene types (results/synthetic_r4).
+    # Fetch stays opt-in until its own trust sweeps land.
+    default_trust = "1" if robot_name == "panda" else "0"
+    final_trust = os.environ.get("BENCH_TRUST", default_trust) == "1"
     if not single_pass or obstacle_mode != "field":
         # the coarse phase is defined for the single-pass LM field path
         # only; the classic two-pass and points-mode configs run the plain
         # schedule rather than erroring under the default BENCH_COARSE
         coarse_iterations = 0
+    if not single_pass:
+        # final_trust is a single-pass LM feature; the two-pass config
+        # runs the plain evaluated finish under the default BENCH_TRUST
+        final_trust = False
     planner = GTOPlanner(
         robot, link_ee, link_gripper, iterations=iterations, obstacle_mode=obstacle_mode,
         field_dtype=field_dtype, lm_alphas=lm_alphas, standoff_distance=standoff_distance,

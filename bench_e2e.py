@@ -48,7 +48,11 @@ def run_e2e():
     batch = int(os.environ.get("BENCH_E2E_BATCH", "16"))
     goal_capacity = int(os.environ.get("BENCH_E2E_GOALS", "32"))
     reps = int(os.environ.get("BENCH_E2E_REPS", "3"))
-    iterations = int(os.environ.get("BENCH_E2E_ITERS", "4"))
+    # plan-phase flavor follows the validated bench default (3 iterations,
+    # coarse 2+1, single-pass, final_trust — closed-loop sweeps in
+    # results/synthetic_r4); round-up coarse division gives the validated
+    # splits 3 -> 2+1 / 4 -> 2+2 / 6 -> 3+3
+    iterations = int(os.environ.get("BENCH_E2E_ITERS", "3"))
     # IK screen budget: 24 LM iterations keeps the per-goal found rate
     # within 0.02 of the 50-iteration reference-parity budget (0.844 vs
     # 0.863 on the bench object set, tools/probe_ik_phase.py) at 55% of
@@ -64,8 +68,9 @@ def run_e2e():
     rank_t = int(os.environ.get("BENCH_E2E_RANK_T", "2"))
     rank_p = int(os.environ.get("BENCH_E2E_RANK_P", "2"))
     coarse_iterations = int(
-        os.environ.get("BENCH_E2E_COARSE", str(min(3, iterations // 2)))
+        os.environ.get("BENCH_E2E_COARSE", str(min(3, (iterations + 1) // 2)))
     )
+    final_trust = os.environ.get("BENCH_E2E_TRUST", "1") == "1"
     width = height = int(os.environ.get("BENCH_E2E_RES", "160"))
     data_dir = os.environ.get("GTO_DATA_DIR", "/root/reference/data")
     depth_threshold = 1.5
@@ -154,6 +159,7 @@ def run_e2e():
         robot, link_ee, link_gripper,
         iterations=iterations, single_pass=True,
         coarse_iterations=coarse_iterations,
+        final_trust=final_trust,
         standoff_distance=-0.1,
     )
     solvers = planner.setup_optimization(
@@ -474,6 +480,7 @@ def run_e2e():
         "batch": batch,
         "goal_capacity": goal_capacity,
         "iterations": [iterations, coarse_iterations],
+        "final_trust": final_trust,
         "ik_iterations": ik_iterations,
         "ik_seeds": ik_seeds,
         "rank_stride": [rank_t, rank_p],
