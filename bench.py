@@ -32,7 +32,10 @@ tunnel's ~25 ms/call host overhead; single-batch latency stays in detail),
 BENCH_T (horizon) / BENCH_CR (cyclic-reduction KKT for long horizons),
 BENCH_GOALW (terminal goal-row weight; ~4 for deep standoffs),
 BENCH_COARSE / BENCH_COARSE_STRIDE (coarse-fidelity obstacle phase;
-0 restores the plain full-fidelity schedule).
+0 restores the plain full-fidelity schedule), BENCH_TRUST (final_trust:
+return the budget's final KKT trial point unevaluated; default 1 on
+panda, 0 elsewhere), BENCH_E2E (0 skips the end-to-end perception->plan
+pipeline block, bench_e2e.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "quality"}.
 """
