@@ -260,8 +260,20 @@ def main():
     # solve; TrajectoryConfig.final_trust). Default ON for panda: the
     # exact shipped flavor (3 iters, coarse 2+1, single-pass, trust) is
     # closed-loop validated on both scene types (results/synthetic_r4).
-    # Fetch stays opt-in until its own trust sweeps land.
-    default_trust = "1" if robot_name == "panda" else "0"
+    # Fetch stays opt-in (trust failed its shelf sweep, docs/PERF.md).
+    # The DEFAULT is also dropped when the config drifts from the
+    # validated flavor — points mode, or an explicit BENCH_ITERS override
+    # (a BENCH_ITERS=50 parity run keeps the evaluated finish) — mirroring
+    # the coarse-knob guards; BENCH_TRUST=1 always wins.
+    default_trust = (
+        "1"
+        if (
+            robot_name == "panda"
+            and obstacle_mode == "field"
+            and "BENCH_ITERS" not in os.environ
+        )
+        else "0"
+    )
     final_trust = os.environ.get("BENCH_TRUST", default_trust) == "1"
     if not single_pass or obstacle_mode != "field":
         # the coarse phase is defined for the single-pass LM field path
@@ -272,13 +284,20 @@ def main():
         # final_trust is a single-pass LM feature; the two-pass config
         # runs the plain evaluated finish under the default BENCH_TRUST
         final_trust = False
+    # BENCH_COHERENCE: goal-coherence bias of the per-iteration active-goal
+    # selection toward the IK warm start's goal (GTOPlanner goal_coherence;
+    # switch goals only when another is this factor cheaper). Targets the
+    # synthetic 32-yaw goal families whose unbiased argmin can select a
+    # member far from every warm start (docs/PERF.md round-5 fetch
+    # capacity); 0 = reference-parity plain argmin.
+    goal_coherence = float(os.environ.get("BENCH_COHERENCE", "0"))
     planner = GTOPlanner(
         robot, link_ee, link_gripper, iterations=iterations, obstacle_mode=obstacle_mode,
         field_dtype=field_dtype, lm_alphas=lm_alphas, standoff_distance=standoff_distance,
         single_pass=single_pass, cyclic_reduction=cyclic_reduction,
         goal_weight=goal_weight, T=horizon,
         coarse_iterations=coarse_iterations, coarse_stride=coarse_stride,
-        final_trust=final_trust,
+        final_trust=final_trust, goal_coherence=goal_coherence,
     )
     solvers = planner.setup_optimization(
         goal_size=goal_capacity, use_standoff=True, axis_standoff=axis_standoff
@@ -323,8 +342,9 @@ def main():
             np.tile(qc, (batch * goal_capacity, 1)), tf_goal.reshape(-1, 4, 4)
         )
         err = (ik_pos + 2e-3 * ik_rot).reshape(batch, goal_capacity)
+        warm_goal = np.argmin(err, axis=1)
         q_best = qsol.reshape(batch, goal_capacity, -1)[
-            np.arange(batch), np.argmin(err, axis=1)
+            np.arange(batch), warm_goal
         ]
         X0 = np.asarray(
             jax.vmap(
@@ -340,6 +360,8 @@ def main():
         "goal_mask": jnp.asarray(goal_mask),
         "base_position": jnp.zeros((batch, 3), jnp.float32),
     }
+    if goal_coherence > 0 and os.environ.get("BENCH_WARM", "1") == "1":
+        params["goal_seed"] = jnp.asarray(warm_goal, jnp.int32)
     scene_params = {}
     if obstacle_mode == "points":
         # the table slab top as a surface point set (upward normals)

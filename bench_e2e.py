@@ -155,12 +155,18 @@ def run_e2e():
     tf_goal = jnp.asarray(tf_goal)
 
     # -- solver programs ------------------------------------------------------
+    # goal-coherence bias (GTOPlanner goal_coherence): pin the plan phase's
+    # per-iteration goal selection to the ranked warm start's goal unless
+    # another goal is this factor cheaper; 0 = parity plain argmin
+    coherence = float(os.environ.get("BENCH_E2E_COHERENCE", "0"))
     planner = GTOPlanner(
         robot, link_ee, link_gripper,
         iterations=iterations, single_pass=True,
         coarse_iterations=coarse_iterations,
         final_trust=final_trust,
         standoff_distance=-0.1,
+        rank_t_stride=rank_t, rank_p_stride=rank_p,
+        goal_coherence=coherence,
     )
     solvers = planner.setup_optimization(
         goal_size=goal_capacity, use_standoff=True, axis_standoff=axis_standoff
@@ -237,25 +243,17 @@ def run_e2e():
     base_j = jnp.asarray(base_position)
 
     def rank_seeds_one(q_sols, found_o, f_obs):
-        """Pipeline-parity warm-start ranking (_rank_warm_starts semantics):
-        interpolate EVERY found IK candidate into a seed trajectory and pick
-        lexicographically by (obstacle cost of the replayed seed, travel).
-        The obstacle score runs on a (rank_t, rank_p)-strided subset of the
-        (T, P) replay points via the SoA FK path (see knob comment above)."""
-        seeds = jax.vmap(
-            lambda q_sol: interpolate_waypoints_jnp(qc_j, q_sol, planner.T)
-        )(q_sols)  # (cap, T, ndof)
-        sub = seeds[:, ::rank_t] if rank_t > 1 else seeds
-        comps = robot.fk_components(sub)
-        x, y, z = robot.surface_points_soa(comps, base_j, stride=rank_p)
-        pts = jnp.stack([x, y, z], axis=-1)
-        vals = grid.lookup_nearest(f_obs, pts)
-        costs = jnp.sum(vals, axis=(1, 2))
+        """Warm-start ranking through the PLANNER's own helpers
+        (GTOPlanner.rank_seed_scores / rank_pick with the planner's
+        rank_t/rank_p strides — the measured ranking is byte-for-byte the
+        shipped pipeline path): interpolate every found IK candidate into a
+        seed trajectory and pick lexicographically by (obstacle cost of the
+        replayed seed, travel). Candidates the IK screen missed rank inf."""
+        seeds = planner._seed_trajectories(qc_j, q_sols.T)  # (cap, T, ndof)
+        costs, dists = planner.rank_seed_scores(seeds, f_obs, base_j)
         costs = jnp.where(found_o, costs, jnp.inf)
-        dists = jnp.linalg.norm(seeds[:, 0] - seeds[:, -1], axis=-1)
-        min_cost = jnp.min(costs)
-        best = jnp.argmin(jnp.where(costs == min_cost, dists, jnp.inf))
-        return seeds[best]  # (T, ndof)
+        best = planner.rank_pick(costs, dists)
+        return seeds[best], best  # (T, ndof), goal index of the seed
 
     @jax.jit
     def phase_ik(tf_goal_b, keys, f_obs_b):
@@ -279,13 +277,15 @@ def run_e2e():
         err_rot = err_rot.reshape(batch, goal_capacity)
         found = (err_pos < 0.01) & (err_rot < 5.0)
         q_sols = q_full.reshape(batch, goal_capacity, -1)
-        Q0 = jax.vmap(rank_seeds_one)(q_sols, found, f_obs_b)  # (B, T, ndof)
+        Q0, seed_goal = jax.vmap(rank_seeds_one)(
+            q_sols, found, f_obs_b
+        )  # (B, T, ndof), (B,)
         X0 = Q0[:, 2:, :][..., jnp.asarray(opt_idx)]
-        return X0, found, err_pos, err_rot, q_sols
+        return X0, found, err_pos, err_rot, q_sols, seed_goal
 
     # -- phase 3: goal-set plan over per-problem stacked fields ---------------
     @jax.jit
-    def phase_plan(X0, tables, base, goal_mask):
+    def phase_plan(X0, tables, base, goal_mask, seed_goal):
         params = {
             "q_param": q_param,
             "tf_goal": tf_goal,
@@ -297,6 +297,8 @@ def run_e2e():
             ),
             "field_base": base,
         }
+        if coherence > 0:
+            params["goal_seed"] = seed_goal
         return solvers.solve_batch_stacked(
             qc_opt, X0, params, {"packed_fields": tables}
         )
@@ -379,7 +381,9 @@ def run_e2e():
         )
         keep.block_until_ready()
         t1 = time.time()
-        X0, found, err_pos, err_rot, q_sols = phase_ik(tf_goal, keys, f_obs_b)
+        X0, found, err_pos, err_rot, q_sols, seed_goal = phase_ik(
+            tf_goal, keys, f_obs_b
+        )
         X0.block_until_ready()
         t2 = time.time()
         # goal slots must survive BOTH the collision pre-filter and the IK
@@ -387,7 +391,7 @@ def run_e2e():
         # (the pipeline would report a failure stage — the bench still plans)
         gm = keep & found
         gm = jnp.where(gm.any(axis=1, keepdims=True), gm, True)
-        Q, cost, _ = phase_plan(X0, tables, base, gm)
+        Q, cost, _ = phase_plan(X0, tables, base, gm, seed_goal)
         Q.block_until_ready()
         t3 = time.time()
         if rescue_k:

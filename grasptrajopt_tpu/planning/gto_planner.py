@@ -81,6 +81,7 @@ class GTOPlanner:
         final_trust: bool = False,
         rank_t_stride: int = 1,
         rank_p_stride: int = 1,
+        goal_coherence: float = 0.0,
     ):
         # T/Tmax: trajectory horizon (reference fixes T=50 over 10 s,
         # gto_planner.py:25-28). The horizon is an array axis here, so long
@@ -144,6 +145,17 @@ class GTOPlanner:
         # (exact) for the closed-loop pipeline.
         self.rank_t_stride = int(rank_t_stride)
         self.rank_p_stride = int(rank_p_stride)
+        # goal_coherence > 1: bias the per-iteration active-goal selection
+        # toward the goal the ranked warm start was seeded from (passed as
+        # the optional params["goal_seed"] index). The selection switches
+        # away from the seeded goal only when another goal's point-match
+        # cost is goal_coherence x lower. At large synthetic goal
+        # capacities (32-yaw families) the unbiased argmin can select a
+        # member far from EVERY IK warm start, which a small iteration
+        # budget then cannot reach (docs/PERF.md round-5 "not
+        # budget-bound" diagnosis). 0 (default) = reference parity: plain
+        # masked argmin of the point-match cost (optas.mmin reduction).
+        self.goal_coherence = float(goal_coherence)
         # trial-step scales per LM iteration; each candidate costs a full
         # residual pass (None = TrajectoryConfig default)
         self.lm_alphas = lm_alphas
@@ -192,7 +204,7 @@ class GTOPlanner:
         """Build (and cache) the jitted solve program for a goal capacity."""
         key = (
             goal_size, use_standoff, axis_standoff, grid or self.robot.grid,
-            self.goal_weight, self.obstacle_weight,
+            self.goal_weight, self.obstacle_weight, self.goal_coherence,
         )
         if key in self._solvers:
             return self._solvers[key]
@@ -418,6 +430,15 @@ class GTOPlanner:
 
             costs = jax.vmap(goal_cost)(params["tf_goal"])
             costs = jnp.where(params["goal_mask"], costs, jnp.inf)
+            if self.goal_coherence > 0.0 and "goal_seed" in params:
+                # coherence bias: stay with the warm start's goal unless
+                # another is goal_coherence x cheaper (see __init__)
+                idx = jnp.arange(costs.shape[0])
+                costs = jnp.where(
+                    idx == params["goal_seed"],
+                    costs / jnp.asarray(self.goal_coherence, dtype),
+                    costs,
+                )
             return jnp.argmin(costs)
 
         cfg_kwargs = {}
@@ -550,23 +571,30 @@ class GTOPlanner:
         dQ[opt_idx, :] = (Q[opt_idx, 1:] - Q[opt_idx, :-1]) / self.dt
         return dQ
 
-    def _rank_warm_starts(
-        self, qc, q_solutions, sdf_cost_obstacle, base_position, scene_obstacle=None
+    def rank_seed_scores(
+        self, seeds, sdf_cost_obstacle, base_position, scene_obstacle=None
     ):
-        """Interpolate each IK candidate into a seed trajectory and rank by
-        (plan cost, distance) lexicographically (gto_planner.py:196-219)."""
+        """(costs, dists) of a (k, T, ndof) seed bundle — the warm-start
+        ranking metric (gto_planner.py:196-219): summed obstacle cost of the
+        replayed seed, and start-to-end travel as the tie break. Traceable;
+        the one home for the ranking semantics (bench_e2e ranks through this
+        same helper so the measured path is the shipped path)."""
         robot = self.robot
         dtype = robot.dtype
-        seeds = self._seed_trajectories(qc, q_solutions)  # (k, T, ndof)
+        seeds = jnp.asarray(seeds, dtype)
 
         # ranking fidelity strides (see __init__): field mode scores a
-        # (rank_t, rank_p)-strided subset of the (T, P) replay points
+        # (rank_t, rank_p)-strided subset of the (T, P) replay points. The
+        # step subsample is anchored at the END of the trajectory (steps
+        # T-1, T-1-s, ...) so the terminal grasp pose — typically the
+        # deepest point in clutter and the step most likely to separate
+        # candidates — is always scored.
         strided = (
             self.obstacle_mode != "points"
             and (self.rank_t_stride > 1 or self.rank_p_stride > 1)
         )
         if strided:
-            sub = seeds[:, :: self.rank_t_stride]
+            sub = seeds[:, :: -self.rank_t_stride][:, ::-1]
             comps = robot.fk_components(sub)
             x, y, z = robot.surface_points_soa(
                 comps, jnp.asarray(base_position, dtype),
@@ -591,9 +619,27 @@ class GTOPlanner:
             vals = robot.grid.lookup_nearest(jnp.asarray(sdf_cost_obstacle, dtype), pts)
         costs = jnp.sum(vals, axis=(1, 2))  # (k,)
         dists = jnp.linalg.norm(seeds[:, 0] - seeds[:, -1], axis=-1)
-        # exact lexicographic (cost, dist): among min-cost seeds, min dist
+        return costs, dists
+
+    @staticmethod
+    def rank_pick(costs, dists):
+        """Index of the lexicographic (cost, dist) winner: among min-cost
+        seeds, the one with the smallest travel."""
         min_cost = jnp.min(costs)
-        best = jnp.argmin(jnp.where(costs == min_cost, dists, jnp.inf))
+        return jnp.argmin(jnp.where(costs == min_cost, dists, jnp.inf))
+
+    def _rank_warm_starts(
+        self, qc, q_solutions, sdf_cost_obstacle, base_position, scene_obstacle=None
+    ):
+        """Interpolate each IK candidate into a seed trajectory and rank by
+        (plan cost, distance) lexicographically (gto_planner.py:196-219).
+        Returns (best seed (T, ndof), costs (k,), dists (k,))."""
+        seeds = self._seed_trajectories(qc, q_solutions)  # (k, T, ndof)
+        costs, dists = self.rank_seed_scores(
+            seeds, sdf_cost_obstacle, base_position, scene_obstacle
+        )
+        best = self.rank_pick(costs, dists)
+        self._last_rank_pick = best  # seed/goal index of the returned seed
         return seeds[best], costs, dists
 
     # -- public API -----------------------------------------------------------
@@ -690,6 +736,14 @@ class GTOPlanner:
             "goal_mask": jnp.asarray(goal_mask),
             "base_position": jnp.asarray(base_position, dtype),
         }
+        if (
+            self.goal_coherence > 0.0
+            and q_solutions is not None
+            and np.asarray(q_solutions).shape[1] == n
+        ):
+            # candidate columns are goal-aligned (the pipeline's layout):
+            # the ranked warm start's index IS the goal it interpolates to
+            params["goal_seed"] = jnp.asarray(self._last_rank_pick, jnp.int32)
         if self.obstacle_mode == "points":
             assert scene_obstacle is not None and scene_target is not None, (
                 "obstacle_mode='points' needs scene_obstacle/scene_target "

@@ -409,6 +409,65 @@ class TestFieldTermEquivalence:
             assert costs_s[1] < costs_s[0]
             np.testing.assert_allclose(best_s, best_full)
 
+    def test_goal_coherence_keeps_seeded_goal(self, panda):
+        """goal_coherence > 0 biases the per-iteration active-goal selection
+        toward params['goal_seed'] (switch only when another goal is that
+        factor cheaper). With a warm start interpolated to goal 1 but
+        goal_seed=0 at a strong coherence factor, the solve must converge
+        toward goal 0; the parity planner (coherence 0, plain argmin —
+        reference optas.mmin semantics) converges to the seed's goal 1."""
+        import jax
+
+        robot, cfg = panda
+        qc = PANDA_DEFAULT.copy()
+        field = np.zeros(robot.field_size)
+        RT0 = PANDA_RT.copy()
+        RT1 = PANDA_RT.copy()
+        RT1[:3, 3] += [0.0, 0.25, 0.05]
+
+        ik = IKSolver(robot, cfg["link_ee"], cfg["link_gripper"])
+        ik.setup_optimization()
+        q1, *_ = ik.solve_ik(qc, RT1, field, [0, 0, 0], verbose=False)
+
+        def solve(coherence):
+            planner = GTOPlanner(
+                robot, cfg["link_ee"], cfg["link_gripper"],
+                iterations=8, single_pass=True, goal_coherence=coherence,
+            )
+            solvers = planner.setup_optimization(
+                2, use_standoff=True, axis_standoff=cfg["axis_standoff"]
+            )
+            seed = planner._seed_trajectories(qc, q1.reshape(-1, 1))[0]
+            qc_j = jnp.asarray(qc, robot.dtype)
+            q_param = robot.extract_parameter_dimensions(qc_j[:, None])[:, 0]
+            qc_opt = robot.extract_optimized_dimensions(qc_j[:, None])[:, 0]
+            X0 = robot.extract_optimized_dimensions(seed.T).T[2:]
+            params = {
+                "q_param": q_param,
+                "tf_goal": jnp.asarray(np.stack([RT0, RT1]), robot.dtype),
+                "goal_mask": jnp.ones(2, bool),
+                "base_position": jnp.zeros(3, robot.dtype),
+                "sdf_cost_all": jnp.asarray(field, robot.dtype),
+                "sdf_cost_obstacle": jnp.asarray(field, robot.dtype),
+            }
+            if coherence > 0:
+                params["goal_seed"] = jnp.asarray(0, jnp.int32)
+            Q_opt, _, _ = solvers.solve_one(qc_opt, X0, params)
+            Qf = jax.vmap(lambda col: robot.assemble_q(col, q_param))(Q_opt)
+            T_end = np.asarray(
+                robot.get_global_link_transform(cfg["link_ee"], jnp.asarray(Qf[-1]))
+            )
+            d0 = np.linalg.norm(T_end[:3, 3] - RT0[:3, 3])
+            d1 = np.linalg.norm(T_end[:3, 3] - RT1[:3, 3])
+            return d0, d1
+
+        d0_c, d1_c = solve(coherence=200.0)
+        assert d0_c < d1_c, f"coherent solve should land near goal 0 ({d0_c} vs {d1_c})"
+        assert d0_c < 0.05, f"coherent solve should reach goal 0 ({d0_c})"
+        d0_p, d1_p = solve(coherence=0.0)
+        assert d1_p < d0_p, f"parity solve should stay at the seed's goal 1 ({d1_p} vs {d0_p})"
+        assert d1_p < 0.05, f"parity solve should reach goal 1 ({d1_p})"
+
     @pytest.mark.slow
     def test_final_trust_preserves_quality(self, panda):
         """final_trust=True returns the budget's final KKT trial point
