@@ -7,7 +7,7 @@
 
 CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
-.PHONY: test test-fast bench eval eval-shelf
+.PHONY: test test-fast bench eval eval-shelf eval-pybullet
 
 # full suite (nightly): ~60 min on 4 cores (223 tests)
 test:
@@ -27,3 +27,12 @@ eval:
 
 eval-shelf:
 	$(CPU_ENV) python examples/synthetic_eval.py -t shelf
+
+# real-engine on-ramp (CLAUDE.md round-2 note): the day pybullet becomes
+# installable, this is the scene-10 closed-loop run against the real
+# SceneReplica dataset (point GTO_DATA_DIR at it first). Until then the
+# driver exits with its own "needs pybullet" message — the import path and
+# the driver flow itself are kept green by tests/test_drivers.py (fake
+# backend) and tests/test_pybullet_onramp.py (--help / module gate).
+eval-pybullet:
+	$(CPU_ENV) python examples/gto_planning.py -t tabletop -s 10

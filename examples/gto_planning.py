@@ -82,13 +82,13 @@ def filter_grasps_by_collision(gripper_model, gripper_open, RT_offs, depth_pc_ob
 
 
 def main():
+    # parse first so `--help` works without the engine installed
+    args = make_args()
     if not HAS_PYBULLET:
         print("this driver needs pybullet (pip install pybullet)")
         sys.exit(1)
 
     from grasptrajopt_tpu.envs.scene_replica import SceneReplicaEnv
-
-    args = make_args()
     robot_name = args.robot
     scene_type = args.scene_type
     knobs = SCENE_KNOBS[scene_type]
