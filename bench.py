@@ -502,6 +502,25 @@ def main():
         Q.block_until_ready()
         jax.profiler.stop_trace()
 
+    # roofline / attribution block (VERDICT round-4 item 5): % device time
+    # per op family from a profiled step, plus achieved bytes/s of the
+    # obstacle-term row gather vs the HBM roofline and the measured
+    # scattered-gather emitter floor. Default on for real-device runs
+    # (BENCH_ATTRIBUTION=0 to skip; the profiler is a no-op cost, one
+    # extra step outside the timed region).
+    attribution = None
+    if (
+        os.environ.get("BENCH_ATTRIBUTION", "1") == "1"
+        and jax.default_backend() != "cpu"
+        and not mesh_devices
+    ):
+        try:
+            from grasptrajopt_tpu.utils.attribution import profile_step
+
+            attribution = profile_step(step)
+        except Exception as e:  # pragma: no cover - defensive
+            attribution = {"error": repr(e)}
+
     quality = None
     if with_quality and use_reference_robot:
         # -- plan-quality gates (outside the timed region) --------------------
@@ -551,6 +570,8 @@ def main():
     }
     if quality is not None:
         result["quality"] = quality
+    if attribution is not None:
+        result["attribution"] = attribution
 
     # end-to-end perception -> IK -> plan pipeline block (bench_e2e.py):
     # objects/s with per-phase device times vs the reference's 12.84 s/object

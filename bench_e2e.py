@@ -81,7 +81,11 @@ def run_e2e():
 
     from grasptrajopt_tpu.envs.synthetic import SyntheticSceneEnv
     from grasptrajopt_tpu.fields import DepthPointCloud
-    from grasptrajopt_tpu.fields.depth_point_cloud import sdf_cost_shaping
+    from grasptrajopt_tpu.fields.depth_point_cloud import (
+        build_two_cost_fields,
+        sdf_cost_shaping,
+        signed_distance_to_cloud,
+    )
     from grasptrajopt_tpu.planning.gto_models import GTORobotModel
     from grasptrajopt_tpu.planning.gto_planner import GTOPlanner
     from grasptrajopt_tpu.planning.ik_solver import IKSolver
@@ -207,25 +211,48 @@ def run_e2e():
     )
 
     # -- phase 1: fields + grasp collision pre-filter -------------------------
+    # BENCH_E2E_DEDUP: on-device voxel dedup of the obstacle cloud before
+    # the dense field build (ops.voxel_dedup; the CPU shelf path's
+    # field_downsample accuracy bar). Default 1 cm; 0 = full-cloud build.
+    # The fused builder also replaces the scene field's second full-cloud
+    # pass with min(d_obstacle, d_target-points) — together this cuts the
+    # field build's distance pairs ~3.7x at res 160 (and ~10x at 320),
+    # docs/PERF.md round-5 fields-kernel work.
+    dedup_voxel = float(os.environ.get("BENCH_E2E_DEDUP", "0.01"))
+    cap_obs = int(os.environ.get("BENCH_E2E_DEDUP_CAP", "12288"))
+    cap_tgt = 2048
+
     def fields_one(depth, mask, cam_pose, RT_grasps_world):
         """One object: two shaped cost fields on the workspace grid (packed
         corner-row tables) + the gripper-point collision filter — the
         reference's entire "checking" phase (driver :175-240) as one
         device program."""
-        dpc_all = DepthPointCloud(
-            depth, K_j, cam_pose, threshold=depth_threshold
-        )
-        d_obs = jnp.where(mask, depth_threshold, depth)
-        dpc_obs = DepthPointCloud(
-            d_obs, K_j, cam_pose, mask, threshold=depth_threshold
-        )
-        f_all = sdf_cost_shaping(dpc_all.get_sdf(grid_pts), field_epsilon)
-        f_obs = sdf_cost_shaping(dpc_obs.get_sdf(grid_pts), field_epsilon)
+        d_obs_img = jnp.where(mask, depth_threshold, depth)
+        if dedup_voxel > 0:
+            f_all, f_obs, obs_pts, obs_mask = build_two_cost_fields(
+                depth, K_j, cam_pose, mask, grid_pts,
+                threshold=depth_threshold, epsilon=field_epsilon,
+                dedup_voxel=dedup_voxel,
+                capacity_obstacle=cap_obs, capacity_target=cap_tgt,
+            )
+            sdf_fn = lambda q: signed_distance_to_cloud(
+                q, obs_pts, obs_mask, d_obs_img, K_j, cam_pose
+            )
+        else:
+            dpc_all = DepthPointCloud(
+                depth, K_j, cam_pose, threshold=depth_threshold
+            )
+            dpc_obs = DepthPointCloud(
+                d_obs_img, K_j, cam_pose, mask, threshold=depth_threshold
+            )
+            f_all = sdf_cost_shaping(dpc_all.get_sdf(grid_pts), field_epsilon)
+            f_obs = sdf_cost_shaping(dpc_obs.get_sdf(grid_pts), field_epsilon)
+            sdf_fn = dpc_obs.get_sdf
         packed = jnp.concatenate([grid.pack(f_all), grid.pack(f_obs)], axis=0)
         # grasp pre-filter: gripper surface points at every standoff pose
         # vs the obstacle cloud (driver :202-240)
         gp = transform_points(RT_grasps_world @ RT_filter_off, gpts_local)
-        sdf_g = dpc_obs.get_sdf(gp.reshape(-1, 3)).reshape(gp.shape[:2])
+        sdf_g = sdf_fn(gp.reshape(-1, 3)).reshape(gp.shape[:2])
         keep = (sdf_g < 0).mean(axis=1) <= 0.01
         return packed, keep, f_obs
 
@@ -488,6 +515,7 @@ def run_e2e():
         "ik_iterations": ik_iterations,
         "ik_seeds": ik_seeds,
         "rank_stride": [rank_t, rank_p],
+        "dedup": [dedup_voxel, cap_obs],
         "depth_res": [height, width],
         "field_size": int(robot.field_size),
         "compile_s": round(compile_s, 1),

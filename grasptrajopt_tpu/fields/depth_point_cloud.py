@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from grasptrajopt_tpu.ops import min_sqdist
+from grasptrajopt_tpu.ops import min_sqdist_d2
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -45,6 +45,30 @@ def backproject_depth(depth, intrinsic_matrix, camera_pose, valid_mask):
     return pts_world, valid_mask.reshape(-1)
 
 
+def camera_outside(depth, intrinsic_matrix, camera_pose, query_points):
+    """Camera-visibility sign test (free-function form of
+    DepthPointCloud.is_outside; parity: depth_point_cloud.py:127-142):
+    True where the query is observed free space — in front of the measured
+    surface, or outside the viewport."""
+    depth = jnp.asarray(depth)
+    H, W = depth.shape
+    q = jnp.asarray(query_points, depth.dtype)
+    T_wc = jnp.asarray(camera_pose, depth.dtype)
+    R = T_wc[:3, :3]
+    t = T_wc[:3, 3]
+    pc = (q - t) @ R  # camera frame (R^T applied from the right)
+    proj = pc @ jnp.asarray(intrinsic_matrix, depth.dtype).T
+    z = proj[:, 2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
+    u = (proj[:, 0] / safe_z).astype(jnp.int32)
+    v = (proj[:, 1] / safe_z).astype(jnp.int32)
+    in_viewport = (u >= 0) & (v >= 0) & (u < W) & (v < H)
+    uc = jnp.clip(u, 0, W - 1)
+    vc = jnp.clip(v, 0, H - 1)
+    measured = depth[vc, uc]
+    return jnp.where(in_viewport, pc[:, 2] < measured, True)
+
+
 def sdf_cost_shaping(distances, epsilon: float = 0.02, w_inside: float = 1.0):
     """The reference's eps-band obstacle cost (depth_point_cloud.py:65-91)."""
     inside = distances <= 0.0
@@ -61,6 +85,76 @@ def sdf_cost_shaping_deriv(distances, epsilon: float = 0.02, w_inside: float = 1
     d_inside = jnp.full_like(distances, -w_inside)
     d_band = (distances - epsilon) / epsilon
     return jnp.where(inside, d_inside, jnp.where(band, d_band, 0.0))
+
+
+def signed_distance_to_cloud(query_points, cloud_pts, cloud_mask, depth, K, cam_pose):
+    """Signed distance of queries to a (padded) cloud, camera-visibility
+    sign from the depth image — the device query primitive behind
+    DepthPointCloud.get_sdf, usable with a deduplicated cloud."""
+    from grasptrajopt_tpu.ops import min_sqdist_d2
+
+    q = jnp.asarray(query_points)
+    d = jnp.sqrt(min_sqdist_d2(q, cloud_pts, ref_mask=cloud_mask))
+    outside = camera_outside(depth, K, cam_pose, q)
+    return jnp.where(outside, d, -d)
+
+
+def build_two_cost_fields(
+    depth,
+    intrinsic_matrix,
+    camera_pose,
+    target_mask,
+    grid_pts,
+    threshold: float = 1.5,
+    epsilon: float = 0.02,
+    dedup_voxel: float = 0.01,
+    capacity_obstacle: int = 12288,
+    capacity_target: int = 2048,
+):
+    """Both planner cost fields of one observation as ONE device program
+    (jit/vmap-compatible): the scene field and the target-free obstacle
+    field (pybullet_gto_planning.py:175-190 builds these as two separate
+    KD-tree sweeps on the host).
+
+    TPU structure (docs/PERF.md round-5 fields-kernel work):
+      - the obstacle cloud (valid & ~target) is voxel-deduplicated on
+        device (ops.voxel_dedup, default 1 cm — the accuracy the CPU shelf
+        path already ships via field_downsample) and min-distanced once;
+      - the scene field's distances are min(d_obstacle, d_target) over the
+        SMALL target point set — the second full-cloud pass the naive
+        build pays disappears;
+      - signs keep exact parity: obstacle sign from the target-masked
+        depth image, scene sign from the raw depth image.
+
+    Returns (f_all, f_obs, obstacle_pts, obstacle_mask); the deduped
+    obstacle cloud is reused by the grasp collision pre-filter via
+    signed_distance_to_cloud.
+    """
+    from grasptrajopt_tpu.ops import voxel_dedup
+
+    depth = jnp.asarray(depth)
+    tmask = jnp.asarray(target_mask).reshape(-1)
+    valid = jnp.logical_and(depth > 0, depth < threshold).reshape(-1)
+    pts, _ = backproject_depth(depth, intrinsic_matrix, camera_pose, valid)
+    obs_pts, obs_mask, _ = voxel_dedup(
+        pts, valid & ~tmask, dedup_voxel, capacity_obstacle
+    )
+    tgt_pts, tgt_mask, _ = voxel_dedup(
+        pts, valid & tmask, dedup_voxel, capacity_target
+    )
+    from grasptrajopt_tpu.ops import min_sqdist_d2
+
+    q = jnp.asarray(grid_pts)
+    d2_obs = min_sqdist_d2(q, obs_pts, ref_mask=obs_mask)
+    d2_tgt = min_sqdist_d2(q, tgt_pts, ref_mask=tgt_mask)
+    d_obs = jnp.sqrt(d2_obs)
+    d_all = jnp.sqrt(jnp.minimum(d2_obs, d2_tgt))
+    depth_obs = jnp.where(jnp.asarray(target_mask), threshold, depth)
+    out_all = camera_outside(depth, intrinsic_matrix, camera_pose, q)
+    out_obs = camera_outside(depth_obs, intrinsic_matrix, camera_pose, q)
+    f_all = sdf_cost_shaping(jnp.where(out_all, d_all, -d_all), epsilon)
+    f_obs = sdf_cost_shaping(jnp.where(out_obs, d_obs, -d_obs), epsilon)
+    return f_all, f_obs, obs_pts, obs_mask
 
 
 class DepthPointCloud:
@@ -114,21 +208,9 @@ class DepthPointCloud:
         than the measured depth, the query is in front of the surface
         (outside); queries outside the viewport default to outside.
         """
-        q = jnp.asarray(query_points, self.depth.dtype)
-        T_wc = self.camera_pose
-        R = T_wc[:3, :3]
-        t = T_wc[:3, 3]
-        pc = (q - t) @ R  # camera frame (R^T applied from the right)
-        proj = pc @ self.intrinsic_matrix.T
-        z = proj[:, 2]
-        safe_z = jnp.where(jnp.abs(z) > 1e-12, z, 1e-12)
-        u = (proj[:, 0] / safe_z).astype(jnp.int32)
-        v = (proj[:, 1] / safe_z).astype(jnp.int32)
-        in_viewport = (u >= 0) & (v >= 0) & (u < self.width) & (v < self.height)
-        uc = jnp.clip(u, 0, self.width - 1)
-        vc = jnp.clip(v, 0, self.height - 1)
-        measured = self.depth[vc, uc]
-        return jnp.where(in_viewport, pc[:, 2] < measured, True)
+        return camera_outside(
+            self.depth, self.intrinsic_matrix, self.camera_pose, query_points
+        )
 
     def _host_tree(self):
         """Lazy C++ KD-tree over the valid cloud (False when unavailable)."""
@@ -167,7 +249,7 @@ class DepthPointCloud:
                 outside = np.asarray(self.is_outside(q64))
                 return np.where(outside, d, -d)
         q = jnp.asarray(query_points, self.depth.dtype)
-        d2, _ = min_sqdist(q, self.points_padded, ref_mask=self.valid)
+        d2 = min_sqdist_d2(q, self.points_padded, ref_mask=self.valid)
         d = jnp.sqrt(d2)
         outside = self.is_outside(q)
         return jnp.where(outside, d, -d)

@@ -67,8 +67,13 @@ def min_sqdist(query, ref, ref_mask=None, chunk: int = 1024):
         penalty = jnp.zeros_like(ref_sq)
 
     def one_chunk(qc):
-        # (chunk, N) block: ||q||^2 + ||p||^2 - 2 q.p
-        cross = qc @ ref.T  # MXU
+        # (chunk, N) block: ||q||^2 + ||p||^2 - 2 q.p. HIGHEST precision:
+        # at DEFAULT the TPU MXU truncates the f32 coordinates to bf16,
+        # which at workspace scale costs up to ~9 cm of distance error
+        # (tools/probe_fields.py) — the d2 terms cancel catastrophically
+        # near the surface. (On TPU the hot field builds route through
+        # min_sqdist_d2's VPU kernel instead; this path is the fallback.)
+        cross = jnp.matmul(qc, ref.T, precision="highest")
         d2 = jnp.sum(qc * qc, axis=-1)[:, None] + (ref_sq + penalty)[None, :] - 2.0 * cross
         return jnp.min(d2, axis=1), jnp.argmin(d2, axis=1)
 
@@ -77,6 +82,98 @@ def min_sqdist(query, ref, ref_mask=None, chunk: int = 1024):
     idx = idxs.reshape(-1)[:M].astype(jnp.int32)
     # Guard tiny negative values from cancellation.
     return jnp.maximum(d2, 0.0), idx
+
+
+def _min_d2_bcast_kernel(q_ref, rT_ref, out_ref):
+    """VPU-explicit min-distance tile: the reference set lives TRANSPOSED
+    ((4, tn): x/y/z/penalty rows, points along lanes) and the (tm, tn)
+    squared-distance tile is built from three broadcast subtract-squares —
+    exact f32, no matmul. The MXU form ((tm, K)x(K, tn) dot with K=3-8)
+    is the wrong tool here: Mosaic pads K to 128 (16x wasted MACs) and
+    f32 operands either truncate to bf16 (DEFAULT — up to ~9 cm distance
+    error at workspace coordinate scale, tools/probe_fields.py) or cost
+    6 passes (HIGHEST). The brute-force field build is VPU-bound either
+    way; this form reaches that bound at full f32 accuracy."""
+    q = q_ref[:, :]  # (tm, 8) — x, y, z in lanes 0..2
+    r = rT_ref[:, :]  # (4, tn)
+    acc = (q[:, 0:1] - r[0:1, :]) ** 2
+    acc += (q[:, 1:2] - r[1:2, :]) ** 2
+    acc += (q[:, 2:3] - r[2:3, :]) ** 2
+    acc += r[3:4, :]  # +inf-style penalty row masks invalid/padded points
+    tile_min = jnp.min(acc, axis=1)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[:, 0] = tile_min
+
+    @pl.when(pl.program_id(2) > 0)
+    def _():
+        out_ref[:, 0] = jnp.minimum(tile_min, out_ref[:, 0])
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn"))
+def min_d2_batched_pallas(q8, rT, tm: int = 512, tn: int = 2048):
+    """Batched min squared distance, Pallas TPU: q8 (Mp, 8) padded queries
+    (coords in lanes 0..2; pad rows anything), rT (B, 4, Np) transposed
+    reference sets (row 3 = penalty: 0 valid, BIG invalid/pad). Returns
+    (B, Mp) d2. Shared queries across the batch — the field-build shape
+    (one workspace grid, many scene clouds)."""
+    B, _, Np = rT.shape
+    Mp = q8.shape[0]
+    out = pl.pallas_call(
+        _min_d2_bcast_kernel,
+        grid=(B, Mp // tm, Np // tn),
+        in_specs=[
+            pl.BlockSpec((tm, 8), lambda b, i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 4, tn), lambda b, i, j: (b, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, tm, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Mp, 1), jnp.float32),
+    )(q8, rT)
+    return jnp.maximum(out[:, :, 0], 0.0)
+
+
+def _pack_query8(query, tm: int = 512):
+    M = query.shape[0]
+    Mp = -(-M // tm) * tm
+    return jnp.zeros((Mp, 8), jnp.float32).at[:M, :3].set(query)
+
+
+def _pack_refT(ref, ref_mask=None, tn: int = 2048):
+    """(B, N, 3) [+ (B, N) mask] -> (B, 4, Np) transposed + penalty row."""
+    B, N, _ = ref.shape
+    Np = -(-N // tn) * tn
+    rT = jnp.full((B, 4, Np), _PAL_BIG, jnp.float32)
+    rT = rT.at[:, :3, :N].set(jnp.swapaxes(ref, 1, 2))
+    pen = jnp.zeros((B, N), jnp.float32)
+    if ref_mask is not None:
+        pen = jnp.where(ref_mask, 0.0, _PAL_BIG)
+    rT = rT.at[:, 3, :N].set(pen)
+    return rT
+
+
+_PAL_BIG = 3.0e38
+
+
+def min_sqdist_d2(query, ref, ref_mask=None, use_pallas: Optional[bool] = None):
+    """Min squared distance only (no argmin) from (M, 3) queries to an
+    (N, 3) reference set — the dense SDF field-build primitive. On TPU
+    this is the exact-f32 VPU broadcast kernel; elsewhere the chunked XLA
+    path (HIGHEST-precision matmul)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    if not use_pallas:
+        # dtype-polymorphic XLA fallback (tests run x64 on CPU)
+        d2, _ = min_sqdist(jnp.asarray(query), jnp.asarray(ref), ref_mask=ref_mask)
+        return d2
+    query = jnp.asarray(query, jnp.float32)
+    ref = jnp.asarray(ref, jnp.float32)
+    M = query.shape[0]
+    q8 = _pack_query8(query)
+    rT = _pack_refT(ref[None], None if ref_mask is None else ref_mask[None])
+    return min_d2_batched_pallas(q8, rT)[0, :M]
 
 
 def _min_d2_impl(points, ref, use_pallas: Optional[bool] = None):
@@ -98,11 +195,13 @@ def _min_d2_impl(points, ref, use_pallas: Optional[bool] = None):
     if use_pallas:
         d2, idx = min_sqdist_pallas(flat, ref)
     else:
-        # dense (N, K) — fine for the moderate K of downsampled scenes
+        # dense (N, K) — fine for the moderate K of downsampled scenes;
+        # HIGHEST so the TPU MXU's bf16 operand truncation never corrupts
+        # the cancelling d2 terms (see one_chunk above)
         d2k = (
             jnp.sum(flat * flat, axis=-1)[:, None]
             + jnp.sum(ref * ref, axis=-1)[None, :]
-            - 2.0 * flat @ ref.T
+            - 2.0 * jnp.matmul(flat, ref.T, precision="highest")
         )
         d2 = jnp.maximum(jnp.min(d2k, axis=-1), 0.0)
         idx = jnp.argmin(d2k, axis=-1).astype(jnp.int32)
@@ -194,32 +293,45 @@ def _signed_distance_jvp(primals, tangents):
     return sd, jnp.sum(dirs * pdot, axis=-1)
 
 
-def _nearest_kernel(q_ref, r_ref, rsq_ref, n_ref, d2_ref, pt_ref, nm_ref):
+def _nearest_kernel(q_ref, rT_ref, r_ref, n_ref, d2_ref, pt_ref, nm_ref):
     """Tiled nearest-point kernel that returns the nearest REFERENCE POINT
     and NORMAL as values (not indices): per tile, a one-hot mask of the
     row minima matmuls against the VMEM-resident ref/normal tables, so no
     caller-side `ref[idx]` gather ever happens (profiled as the dominant
-    cost — scattered row gathers run ~100x below HBM speed on TPU)."""
+    cost — scattered row gathers run ~100x below HBM speed on TPU).
+
+    d2 uses the VPU broadcast-subtract form over the TRANSPOSED ref tile
+    (exact f32 regardless of the ambient matmul-precision context — the
+    MXU form truncates f32 operands to bf16 at DEFAULT, up to ~cm-scale
+    distance error); the one-hot table contractions pin HIGHEST."""
     j = pl.program_id(1)
 
     q = q_ref[:, :]  # (TM, 4)
+    rT = rT_ref[:, :]  # (4, TN): x/y/z/penalty rows
     r = r_ref[:, :]  # (TN, 4)
     nrm = n_ref[:, :]  # (TN, 4)
-    cross = jax.lax.dot_general(
-        q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    qsq = jnp.sum(q * q, axis=1, keepdims=True)
-    d2 = qsq + rsq_ref[:, :] - 2.0 * cross  # (TM, TN)
+    d2 = (q[:, 0:1] - rT[0:1, :]) ** 2
+    d2 += (q[:, 1:2] - rT[1:2, :]) ** 2
+    d2 += (q[:, 2:3] - rT[2:3, :]) ** 2
+    d2 += rT[3:4, :]  # penalty row: 0 valid, BIG for padded rows
 
     tile_min = jnp.min(d2, axis=1)  # (TM,)
     onehot = (d2 <= tile_min[:, None]).astype(jnp.float32)
     cnt = jnp.maximum(jnp.sum(onehot, axis=1, keepdims=True), 1.0)
     tile_pt = (
-        jax.lax.dot_general(onehot, r, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        jax.lax.dot_general(
+            onehot, r, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         / cnt
     )
     tile_nm = (
-        jax.lax.dot_general(onehot, nrm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        jax.lax.dot_general(
+            onehot, nrm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         / cnt
     )
 
@@ -257,18 +369,17 @@ def nearest_point_normal_pallas(query, ref, normals, tm: int = 1024, tn: int = 2
     q4 = jnp.zeros((Mp, 4), jnp.float32).at[:M, :3].set(query)
     r4 = jnp.zeros((Np, 4), jnp.float32).at[:N, :3].set(ref)
     n4 = jnp.zeros((Np, 4), jnp.float32).at[:N, :3].set(normals)
-    rsq = jnp.sum(r4 * r4, axis=1)
     big = jnp.float32(3.0e38)
-    rsq = rsq.at[N:].set(big)
-    rsq = rsq.reshape(1, Np)
+    rT = jnp.zeros((4, Np), jnp.float32).at[:3, :N].set(ref.T)
+    rT = rT.at[3, N:].set(big)
 
     d2, pt, nm = pl.pallas_call(
         _nearest_kernel,
         grid=(Mp // tm, Np // tn),
         in_specs=[
             pl.BlockSpec((tm, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tn, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -281,7 +392,7 @@ def nearest_point_normal_pallas(query, ref, normals, tm: int = 1024, tn: int = 2
             jax.ShapeDtypeStruct((Mp, 4), jnp.float32),
             jax.ShapeDtypeStruct((Mp, 4), jnp.float32),
         ],
-    )(q4, r4, rsq, n4)
+    )(q4, rT, r4, n4)
     return jnp.maximum(d2[:M, 0], 0.0), pt[:M, :3], nm[:M, :3]
 
 
@@ -306,17 +417,18 @@ def _nearest_impl(points, ref, normals, use_pallas: Optional[bool] = None):
     )
 
 
-def _min_kernel(q_ref, r_ref, rsq_ref, out_ref, arg_ref):
-    """Pallas kernel body: one (TM, TN) tile of the distance matrix."""
+def _min_kernel(q_ref, rT_ref, out_ref, arg_ref):
+    """Pallas kernel body: one (TM, TN) tile of the distance matrix —
+    VPU broadcast-subtract form over the transposed ref tile (exact f32,
+    context-independent; see _nearest_kernel docstring)."""
     j = pl.program_id(1)
 
     q = q_ref[:, :]  # (TM, 4) — xyz padded to 4 lanes
-    r = r_ref[:, :]  # (TN, 4)
-    cross = jax.lax.dot_general(
-        q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (TM, TN)
-    qsq = jnp.sum(q * q, axis=1, keepdims=True)
-    d2 = qsq + rsq_ref[:, :] - 2.0 * cross  # rsq broadcast (1, TN)
+    rT = rT_ref[:, :]  # (4, TN): x/y/z/penalty rows
+    d2 = (q[:, 0:1] - rT[0:1, :]) ** 2
+    d2 += (q[:, 1:2] - rT[1:2, :]) ** 2
+    d2 += (q[:, 2:3] - rT[2:3, :]) ** 2
+    d2 += rT[3:4, :]
 
     tile_min = jnp.min(d2, axis=1)
     local_arg = jnp.argmin(d2, axis=1).astype(jnp.int32)
@@ -349,22 +461,21 @@ def min_sqdist_pallas(query, ref, ref_mask=None, tm: int = 512, tn: int = 2048):
     Np = -(-N // tn) * tn
 
     q4 = jnp.zeros((Mp, 4), jnp.float32).at[:M, :3].set(query)
-    r4 = jnp.zeros((Np, 4), jnp.float32).at[:N, :3].set(ref)
-    rsq = jnp.sum(r4 * r4, axis=1)
     big = jnp.float32(3.0e38)
+    rT = jnp.zeros((4, Np), jnp.float32).at[:3, :N].set(ref.T)
     if ref_mask is not None:
-        rsq = jnp.where(jnp.pad(ref_mask, (0, Np - N)), rsq, big)
+        rT = rT.at[3, :].set(
+            jnp.where(jnp.pad(ref_mask, (0, Np - N)), 0.0, big)
+        )
     else:
-        rsq = rsq.at[N:].set(big)
-    rsq = rsq.reshape(1, Np)
+        rT = rT.at[3, N:].set(big)
 
     out, arg = pl.pallas_call(
         _min_kernel,
         grid=(Mp // tm, Np // tn),
         in_specs=[
             pl.BlockSpec((tm, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tn, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -374,5 +485,5 @@ def min_sqdist_pallas(query, ref, ref_mask=None, tm: int = 512, tn: int = 2048):
             jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
             jax.ShapeDtypeStruct((Mp, 1), jnp.int32),
         ],
-    )(q4, r4, rsq)
+    )(q4, rT)
     return jnp.maximum(out[:M, 0], 0.0), arg[:M, 0]

@@ -6,6 +6,7 @@ import struct
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from grasptrajopt_tpu.fields import (
@@ -304,6 +305,68 @@ class TestDepthPointCloud:
         field3 = field.reshape(grid.shape)
         assert (field3[:, :, -1] > 0).all()  # cells behind wall cost > 0
         assert (field3[:, :, 0] == 0).all()  # cells well in front cost 0
+
+    def test_build_two_cost_fields_parity(self):
+        """The fused one-program builder (device dedup + shared obstacle
+        pass) must match two independent DepthPointCloud.build_cost_field
+        calls: exactly at a negligible dedup voxel, and within the dedup
+        error bound at the shipped 1 cm."""
+        from grasptrajopt_tpu.fields.depth_point_cloud import (
+            build_two_cost_fields,
+        )
+
+        depth, K, pose = self._flat_wall_scene()
+        depth[10:20, 30:40] = 0.8  # a protruding "object"
+        tmask = np.zeros_like(depth, bool)
+        tmask[10:20, 30:40] = True  # the protrusion is the target
+        grid = VoxelGrid(origin=(-0.4, -0.4, 0.4), shape=(12, 12, 16), resolution=0.05)
+        gp = jnp.asarray(grid.grid_points(), jnp.float32)
+
+        pc_all = DepthPointCloud(depth, K, pose)
+        d_obs_img = np.array(depth, copy=True)
+        d_obs_img[tmask] = 1.5
+        pc_obs = DepthPointCloud(d_obs_img, K, pose, tmask)
+        want_all = np.asarray(pc_all.get_sdf_cost(gp))
+        want_obs = np.asarray(pc_obs.get_sdf_cost(gp))
+
+        # (cell ids are 10 bits/axis: voxel must be >= extent/1024, so the
+        # "near-exact" case uses 2 mm, not arbitrarily fine)
+        for vox, atol in ((0.002, 2.5e-3), (0.01, 0.011)):
+            f_all, f_obs, opts, omask = jax.jit(
+                lambda d, m: build_two_cost_fields(
+                    d, K, pose, m, gp, dedup_voxel=vox,
+                    capacity_obstacle=4096, capacity_target=512,
+                )
+            )(jnp.asarray(depth), jnp.asarray(tmask))
+            # dedup only ever OVER-estimates distances -> shaped cost is
+            # under-estimated by at most ~the voxel size in d
+            np.testing.assert_allclose(np.asarray(f_all), want_all, atol=atol)
+            np.testing.assert_allclose(np.asarray(f_obs), want_obs, atol=atol)
+        # the deduped obstacle cloud excludes every target pixel
+        kept = np.asarray(opts)[np.asarray(omask)]
+        tgt_pts = DepthPointCloud(depth, K, pose).points_padded
+        tgt_world = np.asarray(tgt_pts).reshape(64, 64, 3)[tmask]
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(tgt_world).query(kept)
+        assert d.min() > 1e-6
+
+    def test_signed_distance_to_cloud_matches_get_sdf(self):
+        from grasptrajopt_tpu.fields.depth_point_cloud import (
+            signed_distance_to_cloud,
+        )
+
+        depth, K, pose = self._flat_wall_scene()
+        pc = DepthPointCloud(depth, K, pose)
+        q = np.random.default_rng(0).uniform(-0.5, 1.3, size=(200, 3)).astype(np.float32)
+        want = np.asarray(pc.get_sdf(jnp.asarray(q), host=False))
+        got = np.asarray(
+            signed_distance_to_cloud(
+                jnp.asarray(q), pc.points_padded, pc.valid, pc.depth,
+                pc.intrinsic_matrix, pc.camera_pose,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-6)
 
     def test_fused_multiview(self):
         # two orthogonal wall views: a point occluded in one view but

@@ -60,6 +60,87 @@ class TestMinSqdist:
         np.testing.assert_allclose(np.sqrt(np.asarray(d2)), want_d, atol=1e-4)
         np.testing.assert_array_equal(np.asarray(idx), want_i)
 
+    def test_bcast_batched_kernel_interpret_mode(self):
+        """min_d2_batched_pallas (the VPU broadcast field-build kernel):
+        batched clouds + validity masks against the KD-tree oracle."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from grasptrajopt_tpu.ops import min_d2_batched_pallas
+        from grasptrajopt_tpu.ops.nn import _pack_query8, _pack_refT
+
+        B, M, N = 3, 100, 300
+        q = RNG.normal(size=(M, 3)).astype(np.float32)
+        r = RNG.normal(size=(B, N, 3)).astype(np.float32)
+        mask = RNG.uniform(size=(B, N)) > 0.2
+        mask[:, 0] = True  # at least one valid point per cloud
+        q8 = _pack_query8(jnp.asarray(q), tm=64)
+        rT = _pack_refT(jnp.asarray(r), jnp.asarray(mask), tn=128)
+        with pltpu.force_tpu_interpret_mode():
+            d2 = min_d2_batched_pallas(q8, rT, tm=64, tn=128)
+        for b in range(B):
+            want_d, _ = cKDTree(r[b][mask[b]]).query(q)
+            np.testing.assert_allclose(
+                np.sqrt(np.asarray(d2[b, :M])), want_d, atol=1e-4
+            )
+
+    def test_voxel_dedup(self):
+        import jax
+
+        from grasptrajopt_tpu.ops import voxel_dedup
+
+        pts = RNG.uniform(-1, 1, size=(5000, 3)).astype(np.float32)
+        valid = RNG.uniform(size=5000) > 0.1
+        vox = 0.05
+        pd, mask, n = jax.jit(
+            lambda p, v: voxel_dedup(p, v, vox, 8192)
+        )(jnp.asarray(pts), jnp.asarray(valid))
+        pd, mask = np.asarray(pd), np.asarray(mask)
+        n = int(n)
+        # unique count matches numpy's cell dedup of the valid set
+        lo = pts[valid].min(axis=0)
+        cells = np.floor((pts[valid] - lo) / vox).astype(np.int64)
+        n_ref = len(np.unique(cells, axis=0))
+        assert n == n_ref
+        assert mask.sum() == min(n, 8192)
+        kept = pd[mask]
+        # every kept point is a real valid input point
+        valid_set = {tuple(p) for p in pts[valid]}
+        assert all(tuple(p) in valid_set for p in kept)
+        # one per cell, and every occupied cell is represented (no overflow)
+        kc = np.floor((kept - lo) / vox).astype(np.int64)
+        assert len(np.unique(kc, axis=0)) == len(kept) == n_ref
+        # coverage: every valid point is within a voxel diagonal of a kept one
+        from scipy.spatial import cKDTree as T
+
+        d, _ = T(kept).query(pts[valid])
+        assert d.max() <= vox * np.sqrt(3) + 1e-6
+
+    def test_voxel_dedup_overflow_drops_randomly(self):
+        from grasptrajopt_tpu.ops import voxel_dedup
+
+        pts = RNG.uniform(-1, 1, size=(4000, 3)).astype(np.float32)
+        valid = np.ones(4000, bool)
+        cap = 512
+        pd, mask, n = voxel_dedup(jnp.asarray(pts), jnp.asarray(valid), 0.02, cap)
+        assert int(n) > cap  # genuinely overflowing
+        kept = np.asarray(pd)[np.asarray(mask)]
+        assert len(kept) == cap
+        # drops are scattered: the kept set still covers the whole cube
+        # (each octant keeps a proportional share)
+        oct_id = (kept > 0).astype(int) @ np.array([1, 2, 4])
+        counts = np.bincount(oct_id, minlength=8)
+        assert counts.min() > cap / 8 * 0.5
+
+    def test_min_sqdist_d2_fallback_matches(self):
+        from grasptrajopt_tpu.ops import min_sqdist_d2
+
+        q = RNG.normal(size=(40, 3))
+        r = RNG.normal(size=(90, 3))
+        mask = RNG.uniform(size=90) > 0.3
+        d2 = min_sqdist_d2(jnp.asarray(q), jnp.asarray(r), ref_mask=jnp.asarray(mask))
+        want_d, _ = cKDTree(r[mask]).query(q)
+        np.testing.assert_allclose(np.sqrt(np.asarray(d2)), want_d, atol=1e-9)
+
 
 class TestFieldLookup:
     def setup_method(self):

@@ -107,3 +107,40 @@ class TestRetiming:
         _, _, _, ts_slow = convert_plan_to_trajectory(_FakeRobot(1, vmax=0.5), plan)
         _, _, _, ts_fast = convert_plan_to_trajectory(_FakeRobot(1, vmax=2.0), plan)
         assert ts_fast[-1] < ts_slow[-1]
+
+
+class TestAttribution:
+    """utils/attribution.py: trace histogram buckets + gather roofline."""
+
+    def test_bytes_from_long_name(self):
+        from grasptrajopt_tpu.utils.attribution import _bytes_from_long_name
+
+        ln = "%fusion.31 = f32[32,57600,8]{2,1,0} fusion(f32[145152,8]{1,0} %p0), kind=kLoop"
+        assert _bytes_from_long_name(ln) == 32 * 57600 * 8 * 4
+        ln2 = "%gather.2 = bf16[100,8]{1,0} gather(bf16[500,8]{1,0} %t, s32[100,1]{1,0} %i)"
+        assert _bytes_from_long_name(ln2) == 100 * 8 * 2
+
+    def test_bucketing(self):
+        from grasptrajopt_tpu.utils.attribution import bucket_device_time
+
+        events = {
+            "fusion.1": {"us": 600.0, "count": 3, "long_name": "%fusion.1 = f32[10]{0} fusion(...) gather("},
+            "dot.5": {"us": 300.0, "count": 2, "long_name": "%dot.5 = f32[8,8]{1,0} dot(...)"},
+            "exp.1": {"us": 100.0, "count": 1, "long_name": "%exp.1 = f32[4]{0} exponential(...)"},
+        }
+        b = bucket_device_time(events)
+        assert b["gather"] == 0.6 and b["matmul"] == 0.3 and b["other"] == 0.1
+        assert b["total_device_ms"] == 1.0
+
+    def test_profile_step_on_cpu_backend(self):
+        """profile_step must run end-to-end on the CPU backend and always
+        return the attribution keys (the bucket dict may be empty when the
+        backend emits no annotated device lanes)."""
+        import jax
+        import jax.numpy as jnp
+
+        from grasptrajopt_tpu.utils.attribution import profile_step
+
+        f = jax.jit(lambda: (jnp.arange(512.0) ** 2).sum())
+        out = profile_step(f)
+        assert "device_time_frac" in out and "top_ops" in out

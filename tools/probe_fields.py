@@ -1,27 +1,19 @@
 """On-device probe: SDF field-build min-distance variants at e2e shapes.
 
-The e2e fields phase (bench_e2e.py phase_fields) spends ~10.5 ms/object
-building two 72.6k-cell cost fields against a 160x160 depth cloud via
-`ops.min_sqdist` — a (chunk, N) matmul with a K=3 contraction that XLA
-cannot tile efficiently onto the MXU (VERDICT round-4 item 1). Variants:
+Round-5 findings (first run of this probe, docs/PERF.md):
+  - the then-production XLA path (min_sqdist at ambient DEFAULT matmul
+    precision) had up to 9.0e-2 m distance error on TPU — the MXU
+    truncates the f32 coordinates to bf16 and the d2 terms cancel
+    catastrophically near the surface. Fixed: min_sqdist pins HIGHEST.
+  - the MXU Pallas kernel at HIGHEST is exact (3.5e-6 m) but 35.6
+    ms/object: Mosaic pads the K=8 contraction to 128 and HIGHEST
+    multiplies by 6 passes. Precision.HIGH is unsupported by Mosaic.
 
-  prod      — the production path: vmap over clouds of min_sqdist
-              (lax.map chunks, K=3 matmul + broadcast adds + min)
-  pal8_hst  — batched Pallas kernel, 8-lane packed rows
-              [qc, |qc|^2, 1] x [-2pc, 1, |pc|^2] so the FULL d2 tile is
-              one MXU dot (no broadcast adds), running min in VMEM,
-              dot precision HIGHEST (6-pass bf16 decomposition)
-  pal8_hi   — same kernel, precision HIGH (3-pass); coords are centered
-              on the workspace so |q|,|p| <~ 1.6 and the 3-pass error
-              stays ~1e-5 m^2
-  pal8_def  — same kernel, default precision (1-pass bf16): measures the
-              floor and the (expected-unacceptable) error
-  xla8_hst  — packed-8 rows through the XLA chunked path at HIGHEST
-              (is the Pallas kernel actually needed?)
-
-Parity: exact f64 min-distance on host for a grid subset; each variant
-reports max |d - d_exact| and max shaped-cost error (the planner consumes
-sdf_cost_shaping(d, eps=0.02)).
+Variants measured now (all through the SHIPPED ops functions):
+  prod_hst  — vmap over clouds of ops.min_sqdist (XLA, HIGHEST)
+  bcast*    — ops.min_d2_batched_pallas: VPU broadcast-subtract kernel
+              over the transposed ref layout (exact f32, no matmul), at
+              several tilings
 
 Run on the real chip (single-tenant; CLAUDE.md):
     python tools/probe_fields.py
@@ -43,82 +35,16 @@ try:
 except Exception:
     pass
 
-import functools
-
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-from grasptrajopt_tpu.ops import min_sqdist
+from grasptrajopt_tpu.ops import min_sqdist, min_d2_batched_pallas
+from grasptrajopt_tpu.ops.nn import _pack_query8, _pack_refT
 from grasptrajopt_tpu.fields.depth_point_cloud import sdf_cost_shaping
 
 BC = int(os.environ.get("PROBE_BC", "32"))  # clouds (16 objects x 2 fields)
 M = int(os.environ.get("PROBE_M", "72576"))  # grid points
 N = int(os.environ.get("PROBE_N", str(160 * 160)))  # cloud points
 REPS = int(os.environ.get("PROBE_REPS", "10"))
-_BIG = jnp.float32(3.0e38)
-
-
-def _min_d2_kernel(q_ref, r_ref, out_ref):
-    d2 = jax.lax.dot_general(
-        q_ref[:, :], r_ref[:, :], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_min_d2_kernel.precision,
-    )
-    tile_min = jnp.min(d2, axis=1)
-
-    @pl.when(pl.program_id(2) == 0)
-    def _():
-        out_ref[:, 0] = tile_min
-
-    @pl.when(pl.program_id(2) > 0)
-    def _():
-        out_ref[:, 0] = jnp.minimum(tile_min, out_ref[:, 0])
-
-
-@functools.partial(jax.jit, static_argnames=("tm", "tn", "precision"))
-def min_d2_fields_pallas(q8, r8, tm=512, tn=2048, precision="highest"):
-    """q8: (Mp, 8) packed queries; r8: (BC, Np, 8) packed refs."""
-    Bc, Np, _ = r8.shape
-    Mp = q8.shape[0]
-    _min_d2_kernel.precision = {
-        "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGH,
-        "default": jax.lax.Precision.DEFAULT,
-    }[precision]
-    out = pl.pallas_call(
-        _min_d2_kernel,
-        interpret=os.environ.get("PROBE_INTERPRET", "0") == "1",
-        grid=(Bc, Mp // tm, Np // tn),
-        in_specs=[
-            pl.BlockSpec((tm, 8), lambda b, i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, tn, 8), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, tm, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bc, Mp, 1), jnp.float32),
-    )(q8, r8)
-    return jnp.maximum(out[:, :, 0], 0.0)
-
-
-def pack_rows(grid_pts, clouds, masks, center, tm=1024, tn=4096):
-    # pad to the largest probed tile sizes so every tiling divides evenly;
-    # pad rows carry psq=BIG so they never win the min
-    Mp = -(-M // tm) * tm
-    Np = -(-N // tn) * tn
-    qc = grid_pts - center
-    q8 = jnp.zeros((Mp, 8), jnp.float32)
-    q8 = q8.at[:M, :3].set(qc)
-    q8 = q8.at[:M, 3].set(jnp.sum(qc * qc, axis=-1))
-    q8 = q8.at[:M, 4].set(1.0)
-    pc = clouds - center
-    psq = jnp.sum(pc * pc, axis=-1)
-    psq = jnp.where(masks, psq, _BIG)
-    r8 = jnp.zeros((BC, Np, 8), jnp.float32)
-    r8 = r8.at[:, :N, :3].set(-2.0 * pc)
-    r8 = r8.at[:, :N, 3].set(1.0)
-    r8 = r8.at[:, :N, 4].set(psq)
-    r8 = r8.at[:, N:, 4].set(_BIG)
-    return q8, r8
 
 
 def main():
@@ -144,7 +70,6 @@ def main():
     )
     clouds = np.concatenate([table, blobs], axis=1).astype(np.float32)
     masks = rng.uniform(size=(BC, N)) > 0.15  # ~15% invalid pixels
-    # workspace-like grid
     gx, gy, gz = np.meshgrid(
         np.arange(-0.4, 1.5, 0.05),
         np.arange(-1.5, 1.5, 0.05),
@@ -155,7 +80,6 @@ def main():
         np.stack([gx, gy, gz], -1).reshape(-1, 3)[:M].astype(np.float32)
     )
     assert grid_pts.shape[0] == M
-    center = np.array([0.55, 0.0, 0.65], np.float32)
 
     grid_j = jnp.asarray(grid_pts)
     clouds_j = jnp.asarray(clouds)
@@ -181,26 +105,13 @@ def main():
             return d2
         return jax.vmap(one)(clouds, masks)
 
-    @functools.partial(jax.jit, static_argnames=("precision",))
-    def f_xla8(q8, r8, precision="highest"):
-        # chunked XLA over the packed-8 rows
-        qch = q8.reshape(-1, 1024, 8)
+    import functools
 
-        def one_cloud(r):
-            def one_chunk(qc):
-                d2 = jax.lax.dot_general(
-                    qc, r, (((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST
-                    if precision == "highest"
-                    else jax.lax.Precision.HIGH,
-                )
-                return jnp.min(d2, axis=1)
-
-            return jax.lax.map(one_chunk, qch).reshape(-1)
-
-        return jax.vmap(one_cloud)(r8)
-
-    q8, r8 = pack_rows(grid_j, clouds_j, masks_j, jnp.asarray(center))
+    @functools.partial(jax.jit, static_argnames=("tm", "tn"))
+    def f_bcast(clouds, masks, tm=512, tn=2048):
+        q8 = _pack_query8(grid_j, tm=tm)
+        rT = _pack_refT(clouds, masks, tn=tn)
+        return min_d2_batched_pallas(q8, rT, tm=tm, tn=tn)
 
     def check(name, d2_all):
         d2_all = np.asarray(d2_all)
@@ -209,34 +120,30 @@ def main():
         for b in range(2):
             d = np.sqrt(np.maximum(d2_all[b][:M][sub], 0))
             err = max(err, np.abs(d - d_exact[b]).max())
-            c = np.asarray(sdf_cost_shaping(jnp.asarray(d), 0.02))
+            c = np.asarray(sdf_cost_shaping(jnp.asarray(d, jnp.float32), 0.02))
             ce = np.asarray(sdf_cost_shaping(jnp.asarray(d_exact[b]).astype(jnp.float32), 0.02))
             cerr = max(cerr, np.abs(c - ce).max())
         print(f"  {name}: max |d-d_exact| = {err:.2e} m, max shaped-cost err = {cerr:.2e}")
 
-    def bench(name, fn, *args):
-        out = fn(*args)
+    def bench(name, fn, *args, **kw):
+        out = fn(*args, **kw)
         jax.block_until_ready(out)
         ts = []
         for _ in range(REPS):
             t0 = time.time()
-            jax.block_until_ready(fn(*args))
+            jax.block_until_ready(fn(*args, **kw))
             ts.append(time.time() - t0)
         ms = 1e3 * min(ts)
-        print(f"{name:9s} {ms:8.2f} ms total, {ms / (BC / 2):6.2f} ms/object (2 fields)")
+        print(f"{name:14s} {ms:8.2f} ms total, {ms / (BC / 2):6.2f} ms/object (2 fields)")
         return out, ms
 
     print(f"shapes: {BC} clouds x ({M} grid, {N} cloud pts), backend={jax.default_backend()}")
-    out, _ = bench("prod", f_prod, clouds_j, masks_j)
-    check("prod", out)
-    for prec in ("highest", "high", "default"):
-        out, _ = bench(f"pal8_{prec[:3]}", min_d2_fields_pallas, q8, r8, 512, 2048, prec)
-        check(f"pal8_{prec[:3]}", out)
-    # tiling sensitivity at the winning precision
-    for tm, tn in ((1024, 2048), (256, 4096), (512, 4096)):
-        bench(f"pal8_t{tm}x{tn}", min_d2_fields_pallas, q8, r8, tm, tn, "highest")
-    out, _ = bench("xla8_hst", f_xla8, q8, r8, "highest")
-    check("xla8_hst", out)
+    out, _ = bench("prod_hst", f_prod, clouds_j, masks_j)
+    check("prod_hst", out)
+    out, _ = bench("bcast_512x2048", f_bcast, clouds_j, masks_j)
+    check("bcast_512x2048", out)
+    for tm, tn in ((256, 2048), (1024, 2048), (512, 4096), (256, 4096)):
+        bench(f"bcast_{tm}x{tn}", f_bcast, clouds_j, masks_j, tm=tm, tn=tn)
 
 
 if __name__ == "__main__":
