@@ -588,6 +588,16 @@ def main():
             result["e2e"] = run_e2e()
         except Exception as e:  # never let the e2e block kill the headline
             result["e2e"] = {"error": repr(e)}
+        # fetch e2e row (VERDICT round-4 item 7): param joints, 15 DoF,
+        # and the rescue tier exercised at fetch's own validated flavor
+        # (6 iters coarse 3+3, evaluated finish). BENCH_E2E_FETCH=0 skips.
+        if os.environ.get("BENCH_E2E_FETCH", "1") == "1":
+            try:
+                from bench_e2e import run_e2e as _run_e2e_fetch
+
+                result["e2e_fetch"] = _run_e2e_fetch("fetch")
+            except Exception as e:
+                result["e2e_fetch"] = {"error": repr(e)}
     print(json.dumps(result))
     print(
         json.dumps(

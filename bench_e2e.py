@@ -44,15 +44,20 @@ REF_PLAN_S = 10.25
 REF_TOTAL_S = REF_CHECK_S + REF_IK_S + REF_PLAN_S
 
 
-def run_e2e():
+def run_e2e(robot_name: str = None):
+    robot_name = robot_name or os.environ.get("BENCH_E2E_ROBOT", "panda")
     batch = int(os.environ.get("BENCH_E2E_BATCH", "16"))
     goal_capacity = int(os.environ.get("BENCH_E2E_GOALS", "32"))
     reps = int(os.environ.get("BENCH_E2E_REPS", "3"))
-    # plan-phase flavor follows the validated bench default (3 iterations,
-    # coarse 2+1, single-pass, final_trust — closed-loop sweeps in
-    # results/synthetic_r4); round-up coarse division gives the validated
-    # splits 3 -> 2+1 / 4 -> 2+2 / 6 -> 3+3
-    iterations = int(os.environ.get("BENCH_E2E_ITERS", "3"))
+    # plan-phase flavor follows each robot's validated bench default
+    # (closed-loop sweeps in results/synthetic_r4): panda 3 iterations
+    # coarse 2+1 single-pass final_trust; fetch 6 coarse 3+3 with the
+    # evaluated finish (trust failed its shelf sweep — docs/PERF.md).
+    # Round-up coarse division gives the validated splits
+    # 3 -> 2+1 / 4 -> 2+2 / 6 -> 3+3.
+    iterations = int(
+        os.environ.get("BENCH_E2E_ITERS", "3" if robot_name == "panda" else "6")
+    )
     # IK screen budget: 24 LM iterations keeps the per-goal found rate
     # within 0.02 of the 50-iteration reference-parity budget (0.844 vs
     # 0.863 on the bench object set, tools/probe_ik_phase.py) at 55% of
@@ -70,7 +75,10 @@ def run_e2e():
     coarse_iterations = int(
         os.environ.get("BENCH_E2E_COARSE", str(min(3, (iterations + 1) // 2)))
     )
-    final_trust = os.environ.get("BENCH_E2E_TRUST", "1") == "1"
+    final_trust = (
+        os.environ.get("BENCH_E2E_TRUST", "1" if robot_name == "panda" else "0")
+        == "1"
+    )
     width = height = int(os.environ.get("BENCH_E2E_RES", "160"))
     data_dir = os.environ.get("GTO_DATA_DIR", "/root/reference/data")
     depth_threshold = 1.5
@@ -97,11 +105,11 @@ def run_e2e():
     from grasptrajopt_tpu.spatial.quaternion import qangle_deg
 
     # -- models (host, one-time; the reference builds these once too) ---------
-    cfg = load_robot_config("panda", data_dir)
+    cfg = load_robot_config(robot_name, data_dir)
     urdf_rel = cfg["urdf_robot_path"].split("data/", 1)[-1]
     grip_rel = cfg["urdf_gripper_path"].split("data/", 1)[-1]
     robot = GTORobotModel(
-        model_dir=os.path.join(data_dir, "robots", "panda"),
+        model_dir=os.path.join(data_dir, "robots", cfg["robot_name"]),
         urdf_filename=os.path.join(data_dir, urdf_rel),
         time_derivs=[0, 1],
         param_joints=cfg["param_joints"],
@@ -110,7 +118,7 @@ def run_e2e():
     )
     robot.setup_workspace_field(arm_len=cfg["arm_len"], arm_height=cfg["arm_height"])
     gripper = GTORobotModel(
-        model_dir=os.path.join(data_dir, "robots", "panda"),
+        model_dir=os.path.join(data_dir, "robots", cfg["robot_name"]),
         urdf_filename=os.path.join(data_dir, grip_rel),
         dtype=jnp.float32,
     )
@@ -122,7 +130,7 @@ def run_e2e():
     # -- scene observations (host, untimed: this is the CAMERA, not the
     #    framework; the reference gets its depth images from pybullet) -------
     env = SyntheticSceneEnv(
-        robot_name="panda", scene_type="tabletop", n_objects=5,
+        robot_name=cfg["robot_name"], scene_type="tabletop", n_objects=5,
         width=width, height=height, depth_threshold=depth_threshold,
     )
     base_position = np.asarray(env.base_position, np.float32)

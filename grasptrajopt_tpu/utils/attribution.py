@@ -86,6 +86,34 @@ def _bytes_from_long_name(long_name: str) -> float:
     return total
 
 
+def _result_dims(long_name: str):
+    """Dims of the op's RESULT shape (first shape in the long_name)."""
+    global _SHAPE_RE
+    if _SHAPE_RE is None:
+        import re
+
+        _SHAPE_RE = re.compile(r"(f64|f32|bf16|f16|s32|u32|s8|u8|pred)\[([0-9,]*)\]")
+    m = _SHAPE_RE.search(long_name)
+    if not m:
+        return None
+    return [int(d) for d in m.group(2).split(",") if d]
+
+
+def _looks_like_row_gather(long_name: str) -> bool:
+    """Fused corner-row gathers don't say 'gather' in the fusion root's
+    long_name; recognize them by the packed-row result signature — a
+    [..., 8] result with millions of rows and >= 3 dims (the obstacle
+    term's (B, T, P, 8) corner gather; the (2S, 8) table PACK is 2-D and
+    stays out)."""
+    dims = _result_dims(long_name)
+    if not dims or len(dims) < 3 or dims[-1] != 8:
+        return False
+    n = 1
+    for d in dims:
+        n *= d
+    return n >= 5e6
+
+
 _BUCKETS = (
     # (bucket, substrings matched against "name||long_name", lowercased)
     ("gather", ("gather",)),
@@ -96,19 +124,30 @@ _BUCKETS = (
 )
 
 
+_WRAPPERS = ("while", "conditional", "call", "all-reduce", "tuple")
+
+
 def bucket_device_time(events: dict) -> dict:
     """Fold the per-op histogram into op-family buckets (fractions of
-    total device time)."""
+    total device time). Control-flow wrapper events (while/conditional/
+    call) are excluded — the trace records their BODY fusions as separate
+    events, so counting the wrappers double-counts everything inside the
+    LM loop."""
     buckets = defaultdict(float)
     total = 0.0
     for name, rec in events.items():
+        if name.split(".")[0] in _WRAPPERS:
+            continue
         hay = (name + "||" + rec["long_name"]).lower()
-        for bucket, keys in _BUCKETS:
-            if any(k in hay for k in keys):
-                buckets[bucket] += rec["us"]
-                break
+        if _looks_like_row_gather(rec["long_name"]):
+            buckets["gather"] += rec["us"]
         else:
-            buckets["other"] += rec["us"]
+            for bucket, keys in _BUCKETS:
+                if any(k in hay for k in keys):
+                    buckets[bucket] += rec["us"]
+                    break
+            else:
+                buckets["other"] += rec["us"]
         total += rec["us"]
     if total <= 0:
         return {}
@@ -157,7 +196,11 @@ def profile_step(
     g_us = 0.0
     derived_bytes = 0.0
     for name, rec in events.items():
-        if "gather" in (name + rec["long_name"]).lower():
+        if name.split(".")[0] in _WRAPPERS:
+            continue
+        if "gather" in (name + rec["long_name"]).lower() or _looks_like_row_gather(
+            rec["long_name"]
+        ):
             g_us += rec["us"]
             derived_bytes += _bytes_from_long_name(rec["long_name"]) * rec["count"]
     if gather_bytes is None:
