@@ -61,10 +61,19 @@ SCENE_KNOBS = {
     # cost band and cannot represent thin-object clearance in the tight
     # shelf (potted_meat_can / gelatin_box replay collisions); the finer
     # grid is a fidelity knob the CPU reference cannot afford.
+    # views=2: head camera + the env's "peek" vantage, fused for the
+    # planner fields AND the replay scorer. A single head-height view
+    # leaves an occlusion band under the upper shelf board that the
+    # visibility sign test marks 'inside' — which both blocked the true
+    # free corridor during planning and charged plans for free-space
+    # "collisions" during scoring (the round-6 root cause of the two
+    # budget-independent shelf failures; docs/PERF.md, point-in-geometry
+    # replay classification in tools/probe_shelf_fail.py).
     "shelf": dict(
         standoff_distance=-0.2, orderings=["random"],
         goal_weight={"panda": 4.0}, interpolate=False,
         grid_resolution=0.025, field_epsilon=0.02, field_downsample=0.01,
+        views=2,
     ),
 }
 

@@ -96,6 +96,7 @@ class GraspPipeline:
         escalate_target_capacity: int = 1024,
         escalate_resolution: float = 0.02,
         escalate_epsilon: Optional[float] = None,
+        escalate_iterations: Optional[int] = None,
     ):
         self.robot = robot
         self.gripper_model = gripper_model
@@ -153,6 +154,15 @@ class GraspPipeline:
         self.escalate_points_capacity = escalate_points_capacity
         self.escalate_target_capacity = escalate_target_capacity
         self.escalate_resolution = escalate_resolution
+        # the escalation tier runs once per FAILING trial (rare), so it
+        # can afford a deeper LM budget than the shipped fast flavor —
+        # a 3-iteration budget that is plenty with a clean warm start can
+        # sit 2-3 cm short on the hard trials escalation exists for
+        self.escalate_iterations = (
+            escalate_iterations
+            if escalate_iterations is not None
+            else max(12, planner_iterations)
+        )
         # cushion for the downsample's distance inflation (the solver sees
         # distances to the DEDUPED set, up to ~resolution/2 larger than the
         # replay scorer's full-cloud distances): widen the cost band by half
@@ -383,11 +393,11 @@ class GraspPipeline:
                     dQ = self.planner.dq_of(plan)
                     rescued = True
 
-            if (
-                self.escalate
-                and best_score["reward"] == 0
-                and best_score["collision"]
-            ):
+            # the last tier fires on ANY gate failure, not just replay
+            # collisions: a clean near-miss (reach 2-3 cm short at the
+            # fast budget) is exactly what the deeper-budget exact-
+            # geometry re-solve can close (round-6 scene-10 diagnosis)
+            if self.escalate and best_score["reward"] == 0:
                 t1 = time.time()
                 Q_e, cost_e = self._plan_pergoal_exact(
                     qc, RT_base, base_position, q_solutions, cap,
@@ -426,7 +436,7 @@ class GraspPipeline:
                 self.robot, self.link_ee, self.link_gripper,
                 standoff_distance=self.standoff_distance,
                 standoff_offset=self.planner.standoff_offset,
-                iterations=self.planner.iterations,
+                iterations=self.escalate_iterations,
                 goal_weight=self.planner.goal_weight,
                 obstacle_weight=self.escalate_obstacle_weight,
                 obstacle_mode="points",
