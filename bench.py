@@ -341,7 +341,30 @@ def main():
         qsol, ik_pos, ik_rot, _ = ik.solve_ik_batch(
             np.tile(qc, (batch * goal_capacity, 1)), tf_goal.reshape(-1, 4, 4)
         )
-        err = (ik_pos + 2e-3 * ik_rot).reshape(batch, goal_capacity)
+        # multistart RESCUE of the warm start, per problem, only where the
+        # single-seed screen failed every goal: ~1/32 of the synthetic
+        # fetch-32 goal families leaves a bad local minimum as the warm
+        # start (goals-32 reach stuck at 0.969 at every budget while a
+        # 16-seed IK reaches all 32 problems), but blanket multistart is
+        # WORSE (0.844: far-from-rest IK configurations make bad seed
+        # sweeps) — docs/PERF.md round-6 fetch diagnosis. Untimed phase.
+        err1 = (ik_pos + 2e-3 * ik_rot).reshape(batch, goal_capacity)
+        hard = np.asarray(
+            (ik_pos.reshape(batch, goal_capacity) > 0.01).all(axis=1)
+        )
+        if hard.any():
+            qsol_m, pos_m, rot_m, _ = ik.solve_ik_batch(
+                np.tile(qc, (batch * goal_capacity, 1)),
+                tf_goal.reshape(-1, 4, 4), multistart=True,
+            )
+            err_m = (pos_m + 2e-3 * rot_m).reshape(batch, goal_capacity)
+            sel = hard[:, None]
+            err1 = np.where(sel, np.asarray(err_m), np.asarray(err1))
+            qsol = np.where(
+                np.repeat(hard, goal_capacity)[:, None],
+                np.asarray(qsol_m), np.asarray(qsol),
+            )
+        err = err1
         warm_goal = np.argmin(err, axis=1)
         q_best = qsol.reshape(batch, goal_capacity, -1)[
             np.arange(batch), warm_goal

@@ -70,8 +70,13 @@ def run_e2e(robot_name: str = None):
     # scores 6.5 ms with 15/16 identical seed picks (the one difference a
     # near-tie, full-metric cost excess 4e-4); ranking is a heuristic
     # seed CHOICE, the solver still optimizes the true objective.
-    rank_t = int(os.environ.get("BENCH_E2E_RANK_T", "2"))
-    rank_p = int(os.environ.get("BENCH_E2E_RANK_P", "2"))
+    # (4,4) ships: identical seed picks on the probe set and the measured
+    # e2e run holds every gate at strict reach 1.0 (ik 11.7 -> 8.0
+    # ms/object; docs/PERF.md round-6 e2e block). The IK screen stays at
+    # 24 iterations — 16 lifts throughput past 50 obj/s but breaks the
+    # plan-gate reach to 0.812 (negative result, same block).
+    rank_t = int(os.environ.get("BENCH_E2E_RANK_T", "4"))
+    rank_p = int(os.environ.get("BENCH_E2E_RANK_P", "4"))
     coarse_iterations = int(
         os.environ.get("BENCH_E2E_COARSE", str(min(3, (iterations + 1) // 2)))
     )
@@ -192,7 +197,11 @@ def run_e2e(robot_name: str = None):
     # goal set re-solved as independent single-goal problems in one batch
     # (the pipeline's batched per-goal rescue, planning/pipeline.py:327-377,
     # with a static budget instead of the host's data-dependent trigger)
-    rescue_k = int(os.environ.get("BENCH_E2E_RESCUE", "2"))
+    # k=1 ships: the exact-field strict reach is 1.0 before rescue (the
+    # round-6 precision fix), so one slot covers the measured worst case
+    # with gates green at 44.4 objects/s; k=2 remains the conservative
+    # knob (costs ~2 ms/object)
+    rescue_k = int(os.environ.get("BENCH_E2E_RESCUE", "1"))
     solvers1 = (
         planner.setup_optimization(
             goal_size=1, use_standoff=True, axis_standoff=axis_standoff

@@ -139,9 +139,15 @@ def build_two_cost_fields(
     obs_pts, obs_mask, _ = voxel_dedup(
         pts, valid & ~tmask, dedup_voxel, capacity_obstacle
     )
-    tgt_pts, tgt_mask, _ = voxel_dedup(
-        pts, valid & tmask, dedup_voxel, capacity_target
-    )
+    # the target set is small (a few hundred pixels); compact WITHOUT
+    # dedup (nonzero, no sort — the dedup's argsort over the full pixel
+    # count would cost as much as the obstacle dedup for a <3% subset).
+    # Overflowing pixels beyond capacity are dropped; the target surface
+    # is pixel-dense so neighbors cover them.
+    tm = valid & tmask
+    t_idx = jnp.nonzero(tm, size=capacity_target, fill_value=0)[0]
+    tgt_pts = pts[t_idx]
+    tgt_mask = jnp.arange(capacity_target) < jnp.sum(tm)
     from grasptrajopt_tpu.ops import min_sqdist_d2
 
     q = jnp.asarray(grid_pts)

@@ -394,15 +394,25 @@ class GraspPipeline:
                     rescued = True
 
             # the last tier fires on ANY gate failure, not just replay
-            # collisions: a clean near-miss (reach 2-3 cm short at the
-            # fast budget) is exactly what the deeper-budget exact-
-            # geometry re-solve can close (round-6 scene-10 diagnosis)
+            # collisions, and picks its solver by failure mode (round-6
+            # scene-10 diagnosis): a COLLIDING best plan gets the exact-
+            # geometry points re-solve at boosted obstacle weight; a
+            # clean NEAR-MISS (reach 2-3 cm short at the fast budget)
+            # gets a deeper-budget re-solve of the same field problem —
+            # the points tier's weight-40 obstacle term pulls those even
+            # shorter, while extra LM iterations close them
             if self.escalate and best_score["reward"] == 0:
                 t1 = time.time()
-                Q_e, cost_e = self._plan_pergoal_exact(
-                    qc, RT_base, base_position, q_solutions, cap,
-                    depth, K, cam_pose, target_mask,
-                )
+                if best_score["collision"]:
+                    Q_e, cost_e = self._plan_pergoal_exact(
+                        qc, RT_base, base_position, q_solutions, cap,
+                        depth, K, cam_pose, target_mask,
+                    )
+                else:
+                    Q_e, cost_e = self._plan_pergoal_deep(
+                        qc, RT_base, sdf_all, sdf_obs, base_position,
+                        q_solutions, cap,
+                    )
                 planning_time += time.time() - t1
                 best_e = None
                 for i, si in enumerate(score_batch(Q_e)):
@@ -420,6 +430,33 @@ class GraspPipeline:
             plan, dQ, cost, n_grasps, int(keep.sum()), int(found.sum()),
             checking_time, ik_time, planning_time, "ok", rescued=rescued,
             escalated=escalated,
+        )
+
+    def _plan_pergoal_deep(
+        self, qc, RT_base, sdf_all, sdf_obs, base_position, q_solutions, cap,
+    ):
+        """Clean-near-miss escalation: the SAME field problem at the
+        deeper escalate_iterations budget and a BOOSTED goal weight.
+        A clean 2-3 cm miss that survives extra iterations is a
+        goal-vs-obstacle equilibrium (the deep-standoff investigation,
+        docs/PERF.md round 2): the eps-band cost around a tight grasp
+        balances the goal term short of the pose. Boosting the terminal
+        rows moves the equilibrium onto the goal; the replay gate_key
+        only ever ADOPTS the re-solve if it scores collision-free and
+        strictly better, so the boost cannot degrade the returned plan."""
+        if getattr(self, "_planner_deep", None) is None:
+            self._planner_deep = GTOPlanner(
+                self.robot, self.link_ee, self.link_gripper,
+                standoff_distance=self.standoff_distance,
+                standoff_offset=self.planner.standoff_offset,
+                iterations=self.escalate_iterations,
+                goal_weight=4.0 * self.planner.goal_weight,
+                single_pass=self.planner.single_pass,
+            )
+        return self._planner_deep.plan_pergoal_batch(
+            qc, RT_base, sdf_all, sdf_obs, base_position, q_solutions,
+            use_standoff=True, axis_standoff=self.axis_standoff,
+            goal_capacity=cap,
         )
 
     def _plan_pergoal_exact(
