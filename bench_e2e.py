@@ -58,11 +58,15 @@ def run_e2e(robot_name: str = None):
     iterations = int(
         os.environ.get("BENCH_E2E_ITERS", "3" if robot_name == "panda" else "6")
     )
-    # IK screen budget: 24 LM iterations keeps the per-goal found rate
-    # within 0.02 of the 50-iteration reference-parity budget (0.844 vs
-    # 0.863 on the bench object set, tools/probe_ik_phase.py) at 55% of
-    # the cost; misses are exactly what the plan gate + rescue tier absorb
-    ik_iterations = int(os.environ.get("BENCH_E2E_IK_ITERS", "24"))
+    # IK screen budget: for panda, 24 LM iterations keeps the per-goal
+    # found rate within 0.02 of the 50-iteration reference-parity budget
+    # (0.844 vs 0.863, tools/probe_ik_phase.py) at 55% of the cost;
+    # misses are exactly what the plan gate + rescue tier absorb. The
+    # 15-DoF fetch screen is harder (found 0.627 at 24 iters -> plan-gate
+    # reach 0.875) and keeps the full 50 (docs/PERF.md round-6 e2e).
+    ik_iterations = int(
+        os.environ.get("BENCH_E2E_IK_ITERS", "24" if robot_name == "panda" else "50")
+    )
     ik_seeds = int(os.environ.get("BENCH_E2E_SEEDS", "8"))
     # warm-start ranking fidelity: score seed trajectories on every
     # rank_t-th step x every rank_p-th surface point (SoA FK path). The
@@ -197,11 +201,14 @@ def run_e2e(robot_name: str = None):
     # goal set re-solved as independent single-goal problems in one batch
     # (the pipeline's batched per-goal rescue, planning/pipeline.py:327-377,
     # with a static budget instead of the host's data-dependent trigger)
-    # k=1 ships: the exact-field strict reach is 1.0 before rescue (the
+    # panda k=1: the exact-field strict reach is 1.0 before rescue (the
     # round-6 precision fix), so one slot covers the measured worst case
-    # with gates green at 44.4 objects/s; k=2 remains the conservative
-    # knob (costs ~2 ms/object)
-    rescue_k = int(os.environ.get("BENCH_E2E_RESCUE", "1"))
+    # with gates green at 44.4 objects/s (k=2 remains the conservative
+    # knob, ~2 ms/object). fetch keeps k=2 — its gates need both slots
+    # (strict reach 1.0 at 19.1 objects/s, docs/PERF.md round-6 e2e).
+    rescue_k = int(
+        os.environ.get("BENCH_E2E_RESCUE", "1" if robot_name == "panda" else "2")
+    )
     solvers1 = (
         planner.setup_optimization(
             goal_size=1, use_standoff=True, axis_standoff=axis_standoff
