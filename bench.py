@@ -540,7 +540,19 @@ def main():
         try:
             from grasptrajopt_tpu.utils.attribution import profile_step
 
-            attribution = profile_step(step)
+            # analytic gather workload of ONE step: one packed corner-row
+            # gather (8 floats) per (problem, step, surface point) per LM
+            # iteration — coarse iterations at the stride subsample, plus
+            # the final evaluated pass unless final_trust skips it
+            # (opt/trajectory.py delayed-gratification structure)
+            P = getattr(robot, "num_surface_points", 0)
+            p_coarse = -(-P // coarse_stride)
+            full_passes = (iterations - coarse_iterations) + (0 if final_trust else 1)
+            rows = batch * planner.T * (
+                coarse_iterations * p_coarse + full_passes * P
+            )
+            itemsize = 2 if field_dtype is not None else 4
+            attribution = profile_step(step, gather_bytes=rows * 8 * itemsize)
         except Exception as e:  # pragma: no cover - defensive
             attribution = {"error": repr(e)}
 

@@ -69,11 +69,16 @@ SCENE_KNOBS = {
     # "collisions" during scoring (the round-6 root cause of the two
     # budget-independent shelf failures; docs/PERF.md, point-in-geometry
     # replay classification in tools/probe_shelf_fail.py).
+    # plan_views=1: the planner's cost fields stay single-view
+    # (conservative — the head camera's occlusion band under the upper
+    # board is a safety buffer; planning flush against the freed corridor
+    # overshot INTO the board, round-6 potted_meat_can); the filter and
+    # the replay scorer fuse both views.
     "shelf": dict(
         standoff_distance=-0.2, orderings=["random"],
         goal_weight={"panda": 4.0}, interpolate=False,
         grid_resolution=0.025, field_epsilon=0.02, field_downsample=0.01,
-        views=2,
+        views=2, plan_views=1,
     ),
 }
 
@@ -206,6 +211,7 @@ def evaluate_scenes(
         interpolate=knobs.get("interpolate", True),
         field_epsilon=field_epsilon,
         field_downsample=knobs.get("field_downsample"),
+        plan_views=knobs.get("plan_views"),
     )
     qc = np.asarray(cfg["default_pose"])
     base_position = env.base_position

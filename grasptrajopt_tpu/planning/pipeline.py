@@ -97,6 +97,7 @@ class GraspPipeline:
         escalate_resolution: float = 0.02,
         escalate_epsilon: Optional[float] = None,
         escalate_iterations: Optional[int] = None,
+        plan_views: Optional[int] = None,
     ):
         self.robot = robot
         self.gripper_model = gripper_model
@@ -163,6 +164,15 @@ class GraspPipeline:
             if escalate_iterations is not None
             else max(12, planner_iterations)
         )
+        # plan_views: with multi-view observations, build the PLANNING
+        # cost fields from only the first N views while the grasp filter
+        # and every replay-scoring decision keep the full fusion. Plan
+        # conservatively (occluded space = occupied: the single head
+        # view's occlusion band under a shelf board is a safety buffer
+        # the optimizer otherwise planned flush against and overshot
+        # into — round-6 scene-10 potted_meat_can, 46 genuine board
+        # points), score fairly (all evidence). None = all views.
+        self.plan_views = plan_views
         # cushion for the downsample's distance inflation (the solver sees
         # distances to the DEDUPED set, up to ~resolution/2 larger than the
         # replay scorer's full-cloud distances): widen the cost band by half
@@ -224,6 +234,7 @@ class GraspPipeline:
         target-free obstacle field. Accepts one observation or a
         multi-view sequence (see _as_views)."""
         depths, poses, masks = self._as_views(depth, cam_pose, target_mask)
+        n_plan = self.plan_views or len(depths)
         depth_pc = self._fuse([
             DepthPointCloud(d, K, p, threshold=self.depth_threshold)
             for d, p in zip(depths, poses)
@@ -238,20 +249,35 @@ class GraspPipeline:
                 return dpc.downsampled(self.field_downsample)
             return dpc
 
+        # planning fields from the first plan_views views (conservative:
+        # space those cameras cannot see stays 'occupied'); the returned
+        # point clouds — grasp filter + replay scoring — fuse ALL views
+        plan_pc_all = self._fuse([
+            DepthPointCloud(d, K, p, threshold=self.depth_threshold)
+            for d, p in zip(depths[:n_plan], poses[:n_plan])
+        ]) if n_plan < len(depths) else depth_pc
         sdf_cost_all = np.asarray(
-            dense_builder(depth_pc).build_cost_field(grid, epsilon=self.field_epsilon)
+            dense_builder(plan_pc_all).build_cost_field(grid, epsilon=self.field_epsilon)
         )
 
-        obstacle_views = []
-        for d, p, m in zip(depths, poses, masks):
-            d_obs = np.array(d, copy=True)
-            d_obs[m] = self.depth_threshold
-            obstacle_views.append(
-                DepthPointCloud(d_obs, K, p, m, threshold=self.depth_threshold)
-            )
-        depth_pc_obstacle = self._fuse(obstacle_views)
+        def obstacle_fuse(view_slice):
+            obstacle_views = []
+            for d, p, m in view_slice:
+                d_obs = np.array(d, copy=True)
+                d_obs[m] = self.depth_threshold
+                obstacle_views.append(
+                    DepthPointCloud(d_obs, K, p, m, threshold=self.depth_threshold)
+                )
+            return self._fuse(obstacle_views)
+
+        depth_pc_obstacle = obstacle_fuse(zip(depths, poses, masks))
+        plan_pc_obstacle = (
+            obstacle_fuse(zip(depths[:n_plan], poses[:n_plan], masks[:n_plan]))
+            if n_plan < len(depths)
+            else depth_pc_obstacle
+        )
         sdf_cost_obstacle = np.asarray(
-            dense_builder(depth_pc_obstacle).build_cost_field(
+            dense_builder(plan_pc_obstacle).build_cost_field(
                 grid, epsilon=self.field_epsilon
             )
         )

@@ -99,19 +99,39 @@ def _result_dims(long_name: str):
     return [int(d) for d in m.group(2).split(",") if d]
 
 
+def _all_shapes(long_name: str):
+    global _SHAPE_RE
+    if _SHAPE_RE is None:
+        import re
+
+        _SHAPE_RE = re.compile(r"(f64|f32|bf16|f16|s32|u32|s8|u8|pred)\[([0-9,]*)\]")
+    out = []
+    for dtype, dims in _SHAPE_RE.findall(long_name):
+        out.append((dtype, [int(d) for d in dims.split(",") if d]))
+    return out
+
+
 def _looks_like_row_gather(long_name: str) -> bool:
-    """Fused corner-row gathers don't say 'gather' in the fusion root's
-    long_name; recognize them by the packed-row result signature — a
-    [..., 8] result with millions of rows and >= 3 dims (the obstacle
-    term's (B, T, P, 8) corner gather; the (2S, 8) table PACK is 2-D and
-    stays out)."""
-    dims = _result_dims(long_name)
-    if not dims or len(dims) < 3 or dims[-1] != 8:
+    """The corner-row gather never appears as a standalone 'gather' op —
+    XLA fuses it with the trilinear combine, and the fusion ROOT is the
+    combined value/grad output. Recognize the fusion by its signature
+    instead: a large result (>= 1e6 elements) computed FROM a packed
+    corner table operand ([N >= 1e5, 8]). Result == the table shape
+    itself is excluded (that's the table pack / a table copy — copy
+    bucket, not gather)."""
+    shapes = _all_shapes(long_name)
+    if not shapes:
         return False
-    n = 1
-    for d in dims:
-        n *= d
-    return n >= 5e6
+    rdims = shapes[0][1]
+    rn = 1
+    for d in rdims:
+        rn *= d
+    if rn < 1e6:
+        return False
+    for _, dims in shapes[1:]:
+        if len(dims) == 2 and dims[1] == 8 and dims[0] >= 1e5 and dims != rdims:
+            return True
+    return False
 
 
 _BUCKETS = (
@@ -193,19 +213,20 @@ def profile_step(
         }
         for name, rec in top
     ]
+    # roofline strictly over gather-consuming fusions (see
+    # _looks_like_row_gather: string-matching 'gather' catches table
+    # copies and over-counts — the first round-6 bench run claimed 97%
+    # of HBM peak from async table copies). The BYTES are the caller's
+    # analytic workload (rows x 32 B); fusion result shapes measure the
+    # epilogue, not the gather traffic, so no trace-derived fallback.
     g_us = 0.0
-    derived_bytes = 0.0
+    g_ops = []
     for name, rec in events.items():
         if name.split(".")[0] in _WRAPPERS:
             continue
-        if "gather" in (name + rec["long_name"]).lower() or _looks_like_row_gather(
-            rec["long_name"]
-        ):
+        if _looks_like_row_gather(rec["long_name"]):
             g_us += rec["us"]
-            derived_bytes += _bytes_from_long_name(rec["long_name"]) * rec["count"]
-    if gather_bytes is None:
-        # result bytes of the gather ops, from the trace's own HLO shapes
-        gather_bytes = derived_bytes
+            g_ops.append(name)
     if gather_bytes:
         if g_us > 0:
             bps = gather_bytes / (g_us * 1e-6)
@@ -216,6 +237,7 @@ def profile_step(
                 "unit": "GB/s",
                 "frac_of_hbm_peak": round(bps / HBM_PEAK_V5E, 5),
                 "frac_of_emitter_floor": round(bps / GATHER_EMITTER_FLOOR, 3),
+                "ops": g_ops[:6],
             }
     if not keep_trace:
         shutil.rmtree(logdir, ignore_errors=True)
