@@ -35,9 +35,13 @@ BENCH_COARSE / BENCH_COARSE_STRIDE (coarse-fidelity obstacle phase;
 0 restores the plain full-fidelity schedule), BENCH_TRUST (final_trust:
 return the budget's final KKT trial point unevaluated; default 1 on
 panda, 0 elsewhere), BENCH_E2E (0 skips the end-to-end perception->plan
-pipeline block, bench_e2e.py).
+pipeline block, bench_e2e.py), BENCH_E2E_FETCH (0 skips the fetch e2e
+row), BENCH_COHERENCE (goal-coherence bias toward the warm start's goal;
+0 = reference-parity argmin), BENCH_ATTRIBUTION (0 skips the profiled
+device-time attribution + gather-roofline block).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "quality"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"quality", "attribution", "e2e", "e2e_fetch"}.
 """
 
 import json
