@@ -254,6 +254,70 @@ class Visualizer:
         self._finalize_axes()
         self.fig.savefig(file_name, dpi=100, bbox_inches="tight")
 
+    def animate_interactive(self, robot_model, Q, fps: int = 10, **kwargs):
+        """Interactive animated-robot viewer (parity with the reference's
+        VTK timer loop, optas/visualize.py:44-77 + :1303 start): the robot
+        re-poses per tick on top of the static scene, with keyboard
+        transport — space pauses/resumes, left/right single-step while
+        paused, up/down halve/double the frame interval, q closes.
+
+        Headless backends (Agg) have no event loop to run; there the call
+        degrades to a no-op after building frame 0 so scripted callers can
+        invoke it unconditionally. Returns the matplotlib animation object
+        (kept alive by the caller's scope while the window runs)."""
+        import matplotlib.animation as _anim
+
+        Q = np.asarray(Q)
+        self._finalize_axes()
+        state = {"i": 0, "paused": False, "interval": 1000.0 / fps}
+        n_coll = len(self.ax.collections)
+        n_lines = len(self.ax.lines)
+        bounds_len = len(self._bounds)
+
+        def draw_frame(i):
+            for artist in list(self.ax.collections[n_coll:]) + list(self.ax.lines[n_lines:]):
+                artist.remove()
+            del self._bounds[bounds_len:]
+            self.robot(robot_model, Q[:, i % Q.shape[1]], **kwargs)
+            self.ax.set_title(
+                f"step {i % Q.shape[1] + 1}/{Q.shape[1]}"
+                + ("  [paused]" if state["paused"] else "")
+            )
+
+        def tick(_frame):
+            if not state["paused"]:
+                state["i"] += 1
+                draw_frame(state["i"])
+            return []
+
+        def on_key(event):
+            if event.key == " ":
+                state["paused"] = not state["paused"]
+                draw_frame(state["i"])
+                self.fig.canvas.draw_idle()
+            elif event.key in ("left", "right") and state["paused"]:
+                state["i"] += 1 if event.key == "right" else -1
+                draw_frame(state["i"])
+                self.fig.canvas.draw_idle()
+            elif event.key in ("up", "down"):
+                state["interval"] *= 0.5 if event.key == "up" else 2.0
+                ani.event_source.interval = max(10.0, state["interval"])
+            elif event.key == "q":
+                self.close()
+
+        draw_frame(0)
+        ani = _anim.FuncAnimation(
+            self.fig, tick, interval=state["interval"],
+            cache_frame_data=False,
+        )
+        self.fig.canvas.mpl_connect("key_press_event", on_key)
+        # exposed for tests / programmatic transport
+        self._transport_key_handler = on_key
+        backend = self._plt.get_backend().lower()
+        if "agg" not in backend:  # a real window: run the event loop
+            self._plt.show()
+        return ani
+
     def start(self) -> None:
         self._finalize_axes()
         self._plt.show()

@@ -75,6 +75,44 @@ def test_animate_gif(tmp_path):
     vis.close()
 
 
+def test_animate_interactive_headless(tmp_path):
+    """The interactive viewer (VTK-parity transport keys) must build on
+    the headless backend, honor the pause/step key handlers, and degrade
+    to a no-op event loop."""
+    from grasptrajopt_tpu.models import RobotModel
+
+    urdf = """
+    <robot name="stick"><link name="a"/><link name="b"/>
+      <joint name="j" type="revolute"><parent link="a"/><child link="b"/>
+      <origin xyz="0 0 1"/><axis xyz="0 1 0"/>
+      <limit lower="-1" upper="1" velocity="1"/></joint></robot>
+    """
+    robot = RobotModel(urdf_string=urdf, dtype=jnp.float64)
+    vis = Visualizer()
+    vis.grid_floor()
+    Q = np.linspace(-0.5, 0.5, 4)[None, :]
+    ani = vis.animate_interactive(robot, Q, fps=20)
+    assert ani is not None
+    assert "step 1/4" in vis.ax.get_title()
+
+    class _Key:
+        def __init__(self, key):
+            self.key = key
+
+    # space pauses, right steps forward, left steps back, up speeds up
+    fire = lambda k: vis._transport_key_handler(_Key(k))
+    fire(" ")
+    assert "[paused]" in vis.ax.get_title()
+    fire("right")
+    assert "step 2/4" in vis.ax.get_title()
+    fire("left")
+    assert "step 1/4" in vis.ax.get_title()
+    before = ani.event_source.interval
+    fire("up")
+    assert ani.event_source.interval < before
+    vis.close()
+
+
 def test_skeleton_fallback(tmp_path):
     from grasptrajopt_tpu.models import RobotModel
 
