@@ -452,11 +452,59 @@ class GraspPipeline:
                     rescued = True
                     escalated = True
 
+            # safe-decline fallback: when every candidate still collides
+            # (a provably blocked grasp family — round-6 scene-10), hold
+            # the best plan at its last collision-free step instead of
+            # executing a known collision. gate_key ranks clean-unreached
+            # ABOVE colliding-reached (a collision disturbs the scene; a
+            # clean stop is a no-op), so the truncation is adopted only
+            # in exactly that situation.
+            if best_score["collision"]:
+                trunc = self._truncate_before_collision(
+                    plan, depth_pc_obstacle, base_position
+                )
+                if trunc is not None:
+                    s_t = score_plan(
+                        self.robot, self.link_ee, trunc, RT_base,
+                        depth_pc_obstacle, base_position,
+                        pos_tol=self.rescue_pos_tol,
+                        rot_tol_deg=self.rescue_rot_tol_deg,
+                    )
+                    if gate_key(s_t) > best_key:
+                        best_key, best_score = gate_key(s_t), s_t
+                        plan = trunc
+                        dQ = self.planner.dq_of(plan)
+                        rescued = True
+
         return PipelineResult(
             plan, dQ, cost, n_grasps, int(keep.sum()), int(found.sum()),
             checking_time, ik_time, planning_time, "ok", rescued=rescued,
             escalated=escalated,
         )
+
+    def _truncate_before_collision(self, plan, depth_pc_obstacle, base_position):
+        """(ndof, T) plan held at its last collision-free step, or None if
+        the very first post-baseline step already collides. Collision
+        criterion matches the replay scorer exactly (> 5 non-baseline
+        points inside at a step)."""
+        plan = np.asarray(plan)
+        ndof, T = plan.shape
+        Q = jnp.asarray(plan.T, self.robot.dtype)
+        pts = self.robot.fk_surface_points(
+            Q, base_position=jnp.asarray(np.asarray(base_position), self.robot.dtype)
+        )
+        sdf = np.asarray(
+            depth_pc_obstacle.get_sdf(pts.reshape(-1, 3))
+        ).reshape(T, -1)
+        inside = (sdf < 0) & ~(sdf[0] < 0)[None, :]
+        counts = inside.sum(axis=1)
+        bad = np.nonzero(counts > 5)[0]
+        if len(bad) == 0 or bad[0] <= 1:
+            return None
+        k = int(bad[0])
+        out = plan.copy()
+        out[:, k:] = plan[:, k - 1 : k]
+        return out
 
     def _plan_pergoal_deep(
         self, qc, RT_base, sdf_all, sdf_obs, base_position, q_solutions, cap,

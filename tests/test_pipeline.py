@@ -338,6 +338,57 @@ class TestGraspPipeline:
         )
 
     @pytest.mark.slow
+    def test_truncate_before_collision(self, panda, data_dir):
+        """The safe-decline fallback: a plan that sweeps the arm through a
+        wall must come back held at its last collision-free step, and the
+        held plan must replay clean under the scorer's own criterion."""
+        import numpy as np
+
+        from grasptrajopt_tpu.fields import DepthPointCloud
+        from grasptrajopt_tpu.planning.evaluate import check_plan_collision
+
+        robot, cfg = panda
+        gripper = GTORobotModel(
+            model_dir=f"{data_dir}/robots/panda",
+            urdf_filename=f"{data_dir}/robots/panda/panda_gripper.urdf",
+            dtype=jnp.float64,
+        )
+        pipeline = GraspPipeline(
+            robot, gripper, cfg["link_ee"], cfg["link_gripper"],
+            axis_standoff=cfg["axis_standoff"],
+            gripper_open_offsets=cfg["gripper_open_offsets"],
+        )
+        # camera above, wall plane at z=1 in camera frame -> world z.
+        # Build a depth wall IN FRONT of the reaching arm: camera at the
+        # robot side looking +z(world x?) — simplest: camera at origin
+        # looking along +z with the wall at 0.55 m, robot base at origin;
+        # a straight-line reach through x=0.55 crosses it.
+        H = W = 96
+        K = np.array([[60.0, 0, 48], [0, 60.0, 48], [0, 0, 1]])
+        depth = np.full((H, W), 0.55, np.float64)
+        pose = np.array([  # camera frame z -> world x
+            [0.0, 0.0, 1.0, 0.0],
+            [0.0, 1.0, 0.0, 0.0],
+            [-1.0, 0.0, 0.0, 0.8],
+            [0, 0, 0, 1.0],
+        ])
+        dpc = DepthPointCloud(depth, K, pose, threshold=1.5)
+        qc = np.asarray(cfg["default_pose"])
+        ndof = len(qc)
+        T = 12
+        # sweep joint 1 forward so the arm reaches through the wall plane
+        plan = np.tile(qc[:, None], (1, T))
+        plan[1] = np.linspace(qc[1], 1.5, T)
+        plan[3] = np.linspace(qc[3], -0.4, T)
+        assert check_plan_collision(robot, plan, dpc, (0, 0, 0))[0]
+        trunc = pipeline._truncate_before_collision(plan, dpc, (0, 0, 0))
+        assert trunc is not None
+        collided, _ = check_plan_collision(robot, trunc, dpc, (0, 0, 0))
+        assert not collided
+        # the held tail is constant at the last clean step
+        diffs = np.abs(np.diff(trunc, axis=1)).sum(axis=0)
+        assert diffs[-1] == 0.0
+
     def test_escalation_branch_fixes_replay_collision(self, panda, data_dir):
         """The exact-geometry escalation tier: force BOTH the goal-set solve
         and the field-mode per-goal rescue to return a plan that collides
