@@ -281,6 +281,11 @@ class GraspPipeline:
                 grid, epsilon=self.field_epsilon
             )
         )
+        # the grasp pre-filter is a PLANNING decision too: filtering
+        # against the fused cloud removed the only grasp whose plan
+        # replays clean on the round-6 scene-10 potted_meat_can trial —
+        # the replay scorer (fused) still gates whatever gets planned
+        self._plan_pc_obstacle = plan_pc_obstacle
         self.ik_solver.setup_optimization(grid)
         return depth_pc, depth_pc_obstacle, sdf_cost_all, sdf_cost_obstacle
 
@@ -333,7 +338,11 @@ class GraspPipeline:
         _, depth_pc_obstacle, sdf_all, sdf_obs = self.build_fields(
             depth, K, cam_pose, target_mask
         )
-        keep = self.filter_grasps(RT_grasps_world, depth_pc_obstacle)
+        plan_pc = getattr(self, "_plan_pc_obstacle", None)
+        keep = self.filter_grasps(
+            RT_grasps_world,
+            plan_pc if plan_pc is not None else depth_pc_obstacle,
+        )
         checking_time = time.time() - t0
         n_grasps = len(keep)
         RT_base = np.asarray(RT_grasps_world)[keep].copy()
