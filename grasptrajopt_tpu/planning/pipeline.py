@@ -437,29 +437,35 @@ class GraspPipeline:
             # the points tier's weight-40 obstacle term pulls those even
             # shorter, while extra LM iterations close them
             if self.escalate and best_score["reward"] == 0:
-                t1 = time.time()
-                if best_score["collision"]:
-                    Q_e, cost_e = self._plan_pergoal_exact(
-                        qc, RT_base, base_position, q_solutions, cap,
-                        depth, K, cam_pose, target_mask,
-                    )
-                else:
-                    Q_e, cost_e = self._plan_pergoal_deep(
-                        qc, RT_base, sdf_all, sdf_obs, base_position,
-                        q_solutions, cap,
-                    )
-                planning_time += time.time() - t1
-                best_e = None
-                for i, si in enumerate(score_batch(Q_e)):
-                    ki = gate_key(si)
-                    if ki > best_key:
-                        best_key, best_score, best_e = ki, si, i
-                if best_e is not None:
-                    plan = Q_e[best_e]
-                    cost = float(cost_e[best_e])
-                    dQ = self.planner.dq_of(plan)
-                    rescued = True
-                    escalated = True
+                first = "exact" if best_score["collision"] else "deep"
+                for tier in (first, "deep" if first == "exact" else "exact"):
+                    t1 = time.time()
+                    if tier == "exact":
+                        Q_e, cost_e = self._plan_pergoal_exact(
+                            qc, RT_base, base_position, q_solutions, cap,
+                            depth, K, cam_pose, target_mask,
+                        )
+                    else:
+                        Q_e, cost_e = self._plan_pergoal_deep(
+                            qc, RT_base, sdf_all, sdf_obs, base_position,
+                            q_solutions, cap,
+                        )
+                    planning_time += time.time() - t1
+                    best_e = None
+                    for i, si in enumerate(score_batch(Q_e)):
+                        ki = gate_key(si)
+                        if ki > best_key:
+                            best_key, best_score, best_e = ki, si, i
+                    if best_e is not None:
+                        plan = Q_e[best_e]
+                        cost = float(cost_e[best_e])
+                        dQ = self.planner.dq_of(plan)
+                        rescued = True
+                        escalated = True
+                    if best_score["reward"] == 1:
+                        # the failure-mode-matched tier cleared the trial;
+                        # the second tier only runs when needed
+                        break
 
             # safe-decline fallback: when every candidate still collides
             # (a provably blocked grasp family — round-6 scene-10), hold
